@@ -1,0 +1,134 @@
+"""Polyploid genome + noisy long-read simulator (test/bench substrate).
+
+The reference validated phasing on simulated aneuploid yeast reads
+(SURVEY.md §5); it has no in-repo simulator.  This module provides a
+deterministic one so every config of the BASELINE.md ladder has a
+CPU-runnable ground-truth instance (config 1: synthetic diploid 50 kb,
+~500 simulated CLR reads).
+
+All randomness flows through one ``np.random.Generator`` seeded by the
+caller, so datasets are bit-reproducible.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from phasm_tpu import dna
+from phasm_tpu.reads import ReadSet
+
+
+@dataclasses.dataclass
+class SimTruth:
+    """Ground truth for simulated reads."""
+
+    haplotypes: list[np.ndarray]  # per-haplotype base-code arrays
+    read_hap: np.ndarray  # [N] haplotype index of each read
+    read_pos: np.ndarray  # [N] start position on its haplotype
+    read_strand: np.ndarray  # [N] 0 fwd / 1 rc
+
+
+def simulate_haplotypes(
+    rng: np.random.Generator,
+    genome_len: int = 50_000,
+    ploidy: int = 2,
+    snv_rate: float = 0.01,
+    indel_rate: float = 0.001,
+) -> list[np.ndarray]:
+    """Random base haplotype + `ploidy-1` divergent copies (SNVs + short indels)."""
+    base = rng.integers(0, 4, size=genome_len).astype(np.uint8)
+    haps = [base]
+    for _ in range(ploidy - 1):
+        h = base.copy()
+        n_snv = rng.poisson(snv_rate * genome_len)
+        pos = rng.choice(genome_len, size=min(n_snv, genome_len), replace=False)
+        h[pos] = (h[pos] + rng.integers(1, 4, size=pos.shape[0])) % 4
+        # short indels
+        n_ind = rng.poisson(indel_rate * genome_len)
+        parts, cur = [], 0
+        cuts = np.sort(rng.choice(genome_len, size=min(n_ind, genome_len // 10), replace=False))
+        for c in cuts:
+            parts.append(h[cur:c])
+            if rng.random() < 0.5:  # insertion
+                parts.append(rng.integers(0, 4, size=int(rng.integers(1, 4))).astype(np.uint8))
+                cur = c
+            else:  # deletion
+                cur = min(genome_len, c + int(rng.integers(1, 4)))
+        parts.append(h[cur:])
+        haps.append(np.concatenate(parts))
+    return haps
+
+
+def mutate_read(rng: np.random.Generator, seq: np.ndarray, error_rate: float) -> np.ndarray:
+    """Apply CLR-style errors: ~50% ins, 30% del, 20% sub of the error budget."""
+    if error_rate <= 0:
+        return seq
+    n = seq.shape[0]
+    r = rng.random(n)
+    p_ins, p_del, p_sub = 0.5 * error_rate, 0.3 * error_rate, 0.2 * error_rate
+    out = []
+    for i in range(n):
+        x = r[i]
+        if x < p_ins:
+            out.append(int(rng.integers(0, 4)))
+            out.append(int(seq[i]))
+        elif x < p_ins + p_del:
+            continue
+        elif x < p_ins + p_del + p_sub:
+            out.append(int((seq[i] + rng.integers(1, 4)) % 4))
+        else:
+            out.append(int(seq[i]))
+    return np.array(out, dtype=np.uint8)
+
+
+def simulate_reads(
+    seed: int = 0,
+    genome_len: int = 50_000,
+    ploidy: int = 2,
+    coverage: float = 25.0,
+    mean_read_len: int = 5_000,
+    min_read_len: int = 1_000,
+    error_rate: float = 0.05,
+    snv_rate: float = 0.01,
+    indel_rate: float = 0.0005,
+    circular: bool = False,
+) -> tuple[ReadSet, SimTruth]:
+    """Simulate a polyploid read set with ground truth.
+
+    Read lengths ~ clipped exponential around mean (CLR-like); positions
+    uniform; strand uniform; per-base error model in :func:`mutate_read`.
+    """
+    rng = np.random.default_rng(seed)
+    haps = simulate_haplotypes(rng, genome_len, ploidy, snv_rate, indel_rate)
+    # `coverage` is per-haplotype depth; total sequenced bases scale with ploidy
+    n_reads = int(coverage * genome_len * ploidy / mean_read_len)
+    n_reads = max(n_reads, 10)
+
+    seqs, read_hap, read_pos, read_strand = [], [], [], []
+    for _ in range(n_reads):
+        h = int(rng.integers(0, ploidy))
+        hap = haps[h]
+        ln = int(np.clip(rng.exponential(mean_read_len * 0.4) + mean_read_len * 0.6,
+                         min_read_len, mean_read_len * 3))
+        ln = min(ln, hap.shape[0])
+        pos = int(rng.integers(0, hap.shape[0] - ln + 1))
+        raw = hap[pos : pos + ln]
+        raw = mutate_read(rng, raw, error_rate)
+        strand = int(rng.integers(0, 2))
+        if strand:
+            raw = dna.revcomp(raw)
+        seqs.append(dna.decode(raw))
+        read_hap.append(h)
+        read_pos.append(pos)
+        read_strand.append(strand)
+
+    names = [f"sim_h{read_hap[i]}_p{read_pos[i]}_s{read_strand[i]}_{i}" for i in range(n_reads)]
+    rs = ReadSet.from_sequences(seqs, names=names)
+    truth = SimTruth(
+        haplotypes=haps,
+        read_hap=np.array(read_hap, dtype=np.int32),
+        read_pos=np.array(read_pos, dtype=np.int32),
+        read_strand=np.array(read_strand, dtype=np.int32),
+    )
+    return rs, truth
