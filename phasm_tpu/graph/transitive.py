@@ -1,0 +1,123 @@
+"""Fuzz-transitive reduction as a vectorized edge-tensor pass.
+
+Ref: phasm/assembly_graph.py :: remove_transitive_edges — the reference runs
+Myers' (2005) sequential INPLAY/ELIMINATED marking per vertex.  That scan is
+order-dependent; the TPU rebuild instead uses the *declarative* fuzz rule
+(the sparse-matrix formulation of PAPERS.md item 1, arXiv:2010.10055):
+
+    edge (v, x) is transitive  <=>  exists w, w != v, w != x, with
+        (v, w) in E,  (w, x) in E,  and
+        elen(v,w) + elen(w,x) <= elen(v,x) + fuzz
+
+evaluated one-shot against the ORIGINAL edge set.  This is order-independent
+(hence deterministic under any sharding) and equals Myers' result on
+consistent overlap graphs, where two-hop distances compose additively (see
+structure.py).  `fuzz` plays the same role as the reference's length_fuzz
+parameter.
+
+Two implementations with identical outputs:
+  * :func:`reduce_mask_np`  — vectorized numpy (host, default for tests/CLI)
+  * :func:`reduce_mask_jax` — jit-able jnp version over padded adjacency,
+    the one the TPU pipeline runs (static shapes; out-degree padded to a
+    bucket size).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from phasm_tpu.graph.structure import StringGraph
+
+
+def _padded_adjacency(g: StringGraph, pad_to: int | None = None):
+    """[n_nodes, D] neighbor ids + elens + mask from canonical edges."""
+    outdeg = g.out_degree()
+    d_max = int(outdeg.max()) if outdeg.shape[0] and g.n_edges else 0
+    if pad_to is not None:
+        d_max = max(d_max, 1)
+        d_max = ((d_max + pad_to - 1) // pad_to) * pad_to
+    d_max = max(d_max, 1)
+    nbr = np.full((g.n_nodes, d_max), -1, dtype=np.int64)
+    nel = np.zeros((g.n_nodes, d_max), dtype=np.int64)
+    offsets = g.csr()
+    slot = np.arange(g.n_edges, dtype=np.int64) - offsets[g.src]
+    nbr[g.src, slot] = g.dst
+    nel[g.src, slot] = g.elen
+    return nbr, nel, nbr >= 0
+
+
+def reduce_mask_np(g: StringGraph, fuzz: int) -> np.ndarray:
+    """Boolean [E] mask: True = edge is transitive (to be removed)."""
+    if g.n_edges == 0:
+        return np.zeros(0, dtype=bool)
+    nbr, nel, valid = _padded_adjacency(g)
+    # For each edge e = (v, x): candidate mids w = nbr[v, :]
+    v = g.src.astype(np.int64)
+    x = g.dst.astype(np.int64)
+    w = nbr[v]  # [E, D]
+    wl = nel[v]  # [E, D] elen(v, w)
+    ok = valid[v] & (w != x[:, None]) & (w != v[:, None])
+    # lookup elen(w, x) for each (w, x)
+    ex, wx_len = g.has_edges(np.where(ok, w, 0), np.broadcast_to(x[:, None], w.shape))
+    cond = ok & ex & (wl + wx_len <= g.elen.astype(np.int64)[:, None] + fuzz)
+    return np.any(cond, axis=1)
+
+
+_jit_reduce = None
+
+
+def _get_jit_reduce():
+    """Module-level jit (built lazily so importing this file never pulls jax)."""
+    global _jit_reduce
+    if _jit_reduce is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run(src, dst, elen, keys, edge_elen, nbr, nel, valid, fuzz):
+            n_nodes = nbr.shape[0]
+            v, x = src, dst
+            w = nbr[v]
+            wl = nel[v]
+            ok = valid[v] & (w != x[:, None]) & (w != v[:, None])
+            q = jnp.where(ok, w, 0) * n_nodes + x[:, None]
+            pos = jnp.clip(jnp.searchsorted(keys, q), 0, keys.shape[0] - 1)
+            ex = keys[pos] == q
+            wx_len = jnp.where(ex, edge_elen[pos], 0)
+            cond = ok & ex & (wl + wx_len <= elen[:, None] + fuzz)
+            return jnp.any(cond, axis=1)
+
+        _jit_reduce = run
+    return _jit_reduce
+
+
+def reduce_mask_jax(g: StringGraph, fuzz: int) -> np.ndarray:
+    """Same rule as :func:`reduce_mask_np`, as a jit-compiled jnp program.
+
+    Shapes are static for a given (n_edges, D, n_nodes); the jit cache is
+    keyed on them (fuzz is a traced scalar, so changing it never recompiles).
+    Used by the device pipeline; the numpy version is the oracle cross-check.
+    """
+    if g.n_edges == 0:
+        return np.zeros(0, dtype=bool)
+    nbr, nel, valid = _padded_adjacency(g, pad_to=8)
+    keys = g.edge_key()
+    out = _get_jit_reduce()(
+        g.src.astype(np.int64),
+        g.dst.astype(np.int64),
+        g.elen.astype(np.int64),
+        keys,
+        g.elen.astype(np.int64),
+        nbr,
+        nel,
+        valid,
+        np.int64(fuzz),
+    )
+    return np.asarray(out)
+
+
+def remove_transitive_edges(
+    g: StringGraph, fuzz: int = 1000, impl: str = "np"
+) -> StringGraph:
+    """Drop transitive edges (ref: remove_transitive_edges(g, length_fuzz))."""
+    mask = reduce_mask_np(g, fuzz) if impl == "np" else reduce_mask_jax(g, fuzz)
+    return g.take_edges(~mask)

@@ -132,3 +132,72 @@ def simulate_reads(
         read_strand=np.array(read_strand, dtype=np.int32),
     )
     return rs, truth
+
+
+def truth_alignments(
+    rs: "ReadSet",
+    truth: SimTruth,
+    min_overlap: int = 500,
+    cross_hap: bool = False,
+):
+    """Exact alignment table derived from simulation ground truth.
+
+    Only valid for error-free, indel-free simulations (error_rate=0,
+    indel_rate=0): read intervals on the haplotype give exact alignment
+    coordinates.  This is the stage-0 *oracle overlapper* used to test
+    stages 1-3 independently of the real seed-extend engine, and later to
+    diff the engine's output against truth.
+
+    cross_hap=True also emits alignments between reads of different
+    haplotypes at homologous positions (valid when haplotypes differ only by
+    SNVs, so coordinates line up); `diffs` is then the SNV count in the
+    overlap window.
+    """
+    from phasm_tpu.alignments import AlignmentTable
+
+    n = rs.n_reads
+    pos = truth.read_pos.astype(np.int64)
+    hap = truth.read_hap.astype(np.int64)
+    strand = truth.read_strand.astype(np.int64)
+    length = rs.lengths.astype(np.int64)
+    end = pos + length
+
+    # pairwise SNV-difference prefix sums between haplotype pairs
+    diff_prefix = {}
+    if cross_hap:
+        for h1 in range(len(truth.haplotypes)):
+            for h2 in range(h1 + 1, len(truth.haplotypes)):
+                a, b = truth.haplotypes[h1], truth.haplotypes[h2]
+                m = min(a.shape[0], b.shape[0])
+                d = (a[:m] != b[:m]).astype(np.int64)
+                diff_prefix[(h1, h2)] = np.concatenate([[0], np.cumsum(d)])
+
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if hap[i] != hap[j] and not cross_hap:
+                continue
+            o1 = max(pos[i], pos[j])
+            o2 = min(end[i], end[j])
+            if o2 - o1 < min_overlap:
+                continue
+            if hap[i] == hap[j]:
+                diffs = 0
+            else:
+                key = (min(hap[i], hap[j]), max(hap[i], hap[j]))
+                pre = diff_prefix[key]
+                hi = min(int(o2), pre.shape[0] - 1)
+                lo = min(int(o1), hi)
+                diffs = int(pre[hi] - pre[lo])
+            sa, sb = int(strand[i]), int(strand[j])
+            st = sa ^ sb
+            if sa == 0:
+                a_start, a_end = o1 - pos[i], o2 - pos[i]
+                b_start, b_end = o1 - pos[j], o2 - pos[j]
+            else:
+                a_start, a_end = end[i] - o2, end[i] - o1
+                b_start, b_end = end[j] - o2, end[j] - o1
+            rows.append(
+                (i, j, st, int(a_start), int(a_end), int(b_start), int(b_end), diffs)
+            )
+    return AlignmentTable.from_rows(rows)
