@@ -1,0 +1,417 @@
+"""Bubble-chain phasing as a masked branch-score-prune dynamic program.
+
+Ref: phasm/phasing.py :: BubbleChainPhaser, HaplotypeSet (SURVEY.md §4.3).
+The reference walks each bubble chain keeping a set of candidate
+HaplotypeSets (k paths, one per haplotype copy); at each bubble it
+*branches* (extend every candidate with every k-multiset of bubble paths),
+*scores* (relative likelihood from reads spanning into the bubble + a
+coverage model) and *prunes* (drop candidates below prune_factor x best).
+That is a per-object Python loop over combinatorial sets.
+
+TPU re-expression (BASELINE.json north star: "phasing DP re-expressed as a
+masked dynamic program"): the candidate frontier is a fixed-width tensor.
+
+  state per chain step:
+    scores   [C]          candidate log-likelihoods       (padded, masked)
+    B        [C, R, k]    read-haplotype consistency bits for active reads
+  branch:    path assignments  A [E, k]  (ordered product of bubble paths)
+  score:     one fused jnp program computes, for all (candidate, extension)
+             pairs at once,
+               B'[c,e,r,m] = B[c,r,m] & M[r, A[e,m]]
+               P(r|H)      = (c_r(1-err) + (k-c_r)err)/k,  c_r = sum_m B'
+               delta[c,e]  = sum_r log P_new(r) - log P_old(r)
+             plus a Poisson coverage term over per-path read support
+             (ref: phasm/phasing.py :: CoverageModel).
+  prune:     top-K by score with threshold  score >= best + log(prune_factor)
+             (ref prune semantics), deterministic lexicographic tie-break.
+
+Evidence model: a read "touches" a unitig pair if it is a member or aligns
+to a member (from the stage-1 alignment table); a read is consistent with a
+haplotype iff every interior unitig it touches, in every bubble of its span,
+lies on that haplotype's chosen path.  Reads spanning multiple bubbles are
+exactly what links phase across bubbles.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+
+import numpy as np
+
+from phasm_tpu.alignments import AlignmentTable
+from phasm_tpu.bubbles import BubbleChain, enumerate_paths
+from phasm_tpu.graph.unitigs import UnitigGraph
+from phasm_tpu.reads import ReadSet
+
+
+@dataclasses.dataclass
+class PhaseConfig:
+    """Knobs mirror the reference CLI flags (SURVEY.md §6 config row)."""
+
+    ploidy: int = 2
+    prune_factor: float = 0.01  # relative-likelihood prune threshold
+    max_candidates: int = 64  # frontier cap (padded tensor width)
+    max_paths: int = 16  # per-bubble simple-path cap
+    err: float = 1e-3  # P(read | inconsistent haplotype)
+    coverage_weight: float = 0.25  # weight of the coverage model term
+    max_extensions: int = 4096  # cap on |paths|^k before CWR fallback
+    margin_abs: float = 0.002  # evidence: absolute error-rate margin
+    margin_rel: float = 0.25  # evidence: relative error-rate margin
+
+
+@dataclasses.dataclass
+class ChainPhaseResult:
+    chain: BubbleChain
+    haplotype_paths: list[list[int]]  # k walks (unitig ids incl. anchors)
+    haplotigs: list[np.ndarray]  # k spelled base-code arrays
+    score: float
+    n_candidates_final: int
+    read_assignment: dict[int, list[int]]  # read -> consistent haplotype ids
+
+
+# ----------------------------------------------------------------------------
+# evidence preparation
+# ----------------------------------------------------------------------------
+
+
+def canonical_pair(ug: UnitigGraph, u: int) -> int:
+    return min(int(u), int(ug.rc[u]))
+
+
+def read_touch_errs(
+    ug: UnitigGraph, n_reads: int, aln: AlignmentTable
+) -> dict[int, dict[int, float]]:
+    """read id -> {canonical unitig pair: best alignment error rate}.
+
+    Evidence is *weighted*: a read touching a unitig via an alignment carries
+    that alignment's divergence (diffs / overlap length); membership in a
+    unitig carries divergence 0.  The phaser treats a read as supporting the
+    arm(s) it touches with (near-)minimal divergence — this is the
+    spanning-read "overlap placement consistency" scoring of the reference
+    (phasm/phasing.py), made explicit: a read placed between two bubbles
+    whose flanks dip into both neighbouring hotspot arms aligns cleanly only
+    to the arms of its own haplotype, which is exactly the cross-bubble
+    linkage signal.
+    """
+    o2u = ug.read_to_unitig(n_reads)
+    pair_of_read = np.full(n_reads, -1, dtype=np.int64)
+    for r in range(n_reads):
+        u = o2u[2 * r]
+        if u < 0:
+            u = o2u[2 * r + 1]
+        if u >= 0:
+            pair_of_read[r] = canonical_pair(ug, int(u))
+
+    touch: dict[int, dict[int, float]] = {r: {} for r in range(n_reads)}
+    for r in range(n_reads):
+        if pair_of_read[r] >= 0:
+            touch[r][int(pair_of_read[r])] = 0.0
+
+    ovl = np.maximum(aln.overlap_length(), 1)
+    err = aln.diffs / ovl
+    for a, b, e in zip(aln.a_id.tolist(), aln.b_id.tolist(), err.tolist()):
+        pa, pb = int(pair_of_read[a]), int(pair_of_read[b])
+        if pb >= 0:
+            ta = touch[a]
+            if e < ta.get(pb, np.inf):
+                ta[pb] = e
+        if pa >= 0:
+            tb = touch[b]
+            if e < tb.get(pa, np.inf):
+                tb[pa] = e
+    return touch
+
+
+def consistent_paths(
+    rel: dict[int, float],
+    pairsets_i: list[frozenset[int]],
+    margin_abs: float,
+    margin_rel: float,
+) -> np.ndarray:
+    """Boolean [P]: which bubble paths a read (with relevant arm errs) supports.
+
+    The read supports every path containing at least one arm whose divergence
+    is within a margin of the read's best arm.
+    """
+    emin = min(rel.values())
+    thr = emin + margin_abs + margin_rel * emin
+    cons = {u for u, e in rel.items() if e <= thr}
+    return np.array([bool(cons & ps) for ps in pairsets_i], dtype=bool)
+
+
+# ----------------------------------------------------------------------------
+# the masked DP
+# ----------------------------------------------------------------------------
+
+_jit_score = None
+
+
+def _get_jit_score():
+    global _jit_score
+    if _jit_score is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def score_step(B, M, A, scores, active, cand_mask, ext_mask, err, beta, n_path):
+            """All-pairs branch scores.
+
+            B         [C, R, k] bool   prior consistency bits
+            M         [R, P]    bool   read-path consistency for this bubble
+            A         [E, k]    int    path assignment per extension
+            scores    [C]       float  prior candidate scores
+            active    [R]       bool   read participates in this bubble step
+            cand_mask [C] bool / ext_mask [E] bool   padding masks
+            n_path    [P] float  per-path read support (for coverage term)
+            returns   total [C, E]
+            """
+            k = B.shape[2]
+            kf = jnp.float32(k)
+            # consistency after extension: [C, E, R, k]
+            Mp = M[:, A.T]  # [R, k, E] -> path consistency of each assignment
+            Mp = jnp.transpose(Mp, (2, 0, 1))  # [E, R, k]
+            Bn = B[:, None, :, :] & Mp[None, :, :, :]  # [C, E, R, k]
+            c_new = jnp.sum(Bn, axis=3).astype(jnp.float32)  # [C, E, R]
+            c_old = jnp.sum(B, axis=2).astype(jnp.float32)  # [C, R]
+            p_new = (c_new * (1.0 - err) + (kf - c_new) * err) / kf
+            p_old = (c_old * (1.0 - err) + (kf - c_old) * err) / kf
+            contrib = jnp.log(p_new) - jnp.log(p_old)[:, None, :]
+            delta = jnp.sum(jnp.where(active[None, None, :], contrib, 0.0), axis=2)
+
+            # coverage term: per-extension multiplicity of each path
+            P = M.shape[1]
+            onehot = (A[:, :, None] == jnp.arange(P)[None, None, :])  # [E, k, P]
+            mult = jnp.sum(onehot, axis=1).astype(jnp.float32)  # [E, P]
+            lam = jnp.sum(n_path) / kf
+            cov = jnp.sum(
+                n_path[None, :] * jnp.log(lam * mult + 1e-6) - lam * mult, axis=1
+            )  # [E]
+
+            total = scores[:, None] + delta + beta * cov[None, :]
+            total = jnp.where(cand_mask[:, None] & ext_mask[None, :], total, -jnp.inf)
+            return total
+
+        _jit_score = score_step
+    return _jit_score
+
+
+def _pad_to(x: np.ndarray, size: int, axis: int, fill=0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=fill)
+
+
+def _bucket(n: int, step: int = 16) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def phase_chain(
+    ug: UnitigGraph,
+    reads: ReadSet,
+    aln: AlignmentTable,
+    chain: BubbleChain,
+    cfg: PhaseConfig | None = None,
+    touch: dict[int, dict[int, float]] | None = None,
+) -> ChainPhaseResult:
+    """Run the branch-score-prune DP over one bubble chain."""
+    cfg = cfg or PhaseConfig()
+    k = cfg.ploidy
+    if touch is None:
+        touch = read_touch_errs(ug, reads.n_reads, aln)
+
+    # per-bubble interiors / paths as canonical pairs
+    bubbles = chain.bubbles
+    n_b = len(bubbles)
+    paths_per_bubble: list[list[tuple[int, ...]]] = []
+    pairsets: list[list[frozenset[int]]] = []  # per bubble, per path: pair set
+    interiors: list[set[int]] = []
+    for b in bubbles:
+        paths = enumerate_paths(ug, b, max_paths=cfg.max_paths)
+        if not paths:
+            paths = [()]
+        paths_per_bubble.append(paths)
+        pairsets.append([frozenset(canonical_pair(ug, u) for u in p) for p in paths])
+        interiors.append({canonical_pair(ug, u) for u in b.interior})
+
+    # read spans: first/last bubble index each read touches
+    first_b = {}
+    last_b = {}
+    for r, ts in touch.items():
+        for i, ip in enumerate(interiors):
+            if ts.keys() & ip:
+                if r not in first_b:
+                    first_b[r] = i
+                last_b[r] = i
+
+    # DP state
+    candidates: list[tuple[tuple[int, ...], ...]] = [tuple(() for _ in range(k))]
+    scores = np.zeros(1, dtype=np.float64)
+    active_reads: list[int] = []
+    B = np.ones((1, 0, k), dtype=bool)
+
+    score_step = _get_jit_score()
+
+    for i, b in enumerate(bubbles):
+        paths = paths_per_bubble[i]
+        P = len(paths)
+        # activate new reads
+        entering = sorted(r for r, fb in first_b.items() if fb == i)
+        if entering:
+            B = np.concatenate(
+                [B, np.ones((B.shape[0], len(entering), k), dtype=bool)], axis=1
+            )
+            active_reads = active_reads + entering
+
+        R = len(active_reads)
+        # M[r, p]: read consistent with path p at this bubble
+        M = np.zeros((R, P), dtype=bool)
+        act = np.zeros(R, dtype=bool)
+        for ri, r in enumerate(active_reads):
+            rel = {u: e for u, e in touch[r].items() if u in interiors[i]}
+            if not rel:
+                M[ri, :] = True  # no constraint at this bubble
+                continue
+            act[ri] = True
+            M[ri, :] = consistent_paths(rel, pairsets[i], cfg.margin_abs, cfg.margin_rel)
+
+        # extensions: ordered assignments; CWR fallback when P^k too large
+        if P**k <= cfg.max_extensions:
+            A = np.array(list(itertools.product(range(P), repeat=k)), dtype=np.int32)
+        else:
+            A = np.array(
+                list(itertools.combinations_with_replacement(range(P), k)),
+                dtype=np.int32,
+            )
+        E = A.shape[0]
+
+        # per-path read support for the coverage model
+        n_path = M[act].sum(axis=0).astype(np.float32) if R else np.zeros(P, np.float32)
+
+        # pad to buckets for jit cache friendliness
+        C = len(candidates)
+        Cp, Ep, Rp, Pp = _bucket(C), _bucket(E), _bucket(max(R, 1)), _bucket(P, 8)
+        Bp = _pad_to(_pad_to(B, Cp, 0), Rp, 1)
+        Mp_ = _pad_to(_pad_to(M, Rp, 0), Pp, 1)
+        Ap = _pad_to(A, Ep, 0)
+        sp = _pad_to(scores.astype(np.float32), Cp, 0)
+        actp = _pad_to(act, Rp, 0)
+        cmask = _pad_to(np.ones(C, dtype=bool), Cp, 0)
+        emask = _pad_to(np.ones(E, dtype=bool), Ep, 0)
+        npth = _pad_to(n_path, Pp, 0)
+
+        total = np.asarray(
+            score_step(
+                Bp, Mp_, Ap, sp, actp, cmask, emask,
+                np.float32(cfg.err), np.float32(cfg.coverage_weight), npth,
+            )
+        )[:C, :E].astype(np.float64)
+
+        # prune: threshold + top-K, deterministic
+        best = total.max()
+        flat = total.ravel()
+        thresh = best + math.log(cfg.prune_factor)
+        order = np.lexsort((np.arange(flat.shape[0]), -flat))
+        keep = [j for j in order[: cfg.max_candidates] if flat[j] >= thresh]
+        if not keep:
+            keep = [int(order[0])]
+
+        new_candidates = []
+        new_B = np.zeros((len(keep), R, k), dtype=bool)
+        new_scores = np.zeros(len(keep), dtype=np.float64)
+        seen_canon = {}
+        for out_i, j in enumerate(keep):
+            c, e = divmod(j, E)
+            hist = tuple(
+                candidates[c][m] + (int(A[e, m]),) for m in range(k)
+            )
+            new_candidates.append(hist)
+            new_scores[out_i] = flat[j]
+            for m in range(k):
+                new_B[out_i, :, m] = B[c, :, m] & M[:, A[e, m]]
+        # dedup candidates whose sorted haplotype histories coincide
+        keep_idx = []
+        for idx, hist in enumerate(new_candidates):
+            key = tuple(sorted(hist))
+            if key not in seen_canon:
+                seen_canon[key] = idx
+                keep_idx.append(idx)
+        candidates = [new_candidates[j] for j in keep_idx]
+        scores = new_scores[keep_idx]
+        B = new_B[keep_idx]
+
+        # retire reads whose span ended
+        if R:
+            stay = np.array([last_b.get(r, -1) > i for r in active_reads], dtype=bool)
+            B = B[:, stay, :]
+            active_reads = [r for r, s in zip(active_reads, stay) if s]
+
+    # best candidate (scores sorted desc already by construction of keep)
+    best_i = int(np.argmax(scores))
+    best_hist = candidates[best_i]
+
+    # build walks incl. anchors and spell haplotigs
+    elen_lookup = {
+        (int(s), int(d)): int(e) for s, d, e in zip(ug.src, ug.dst, ug.elen)
+    }
+
+    def walk_for(hap: tuple[tuple[int, ...], ...]) -> list[int]:
+        nodes = [bubbles[0].entrance]
+        for i, b in enumerate(bubbles):
+            nodes.extend(paths_per_bubble[i][hap[i]])
+            nodes.append(b.exit)
+        return nodes
+
+    hap_paths = []
+    haplotigs = []
+    for m in range(k):
+        nodes = walk_for(best_hist[m])
+        hap_paths.append(nodes)
+        elens = [elen_lookup[(nodes[j], nodes[j + 1])] for j in range(len(nodes) - 1)]
+        haplotigs.append(ug.spell_path(nodes, elens, reads))
+
+    # read assignment from best candidate's remaining+retired consistency:
+    # recompute per read over its span
+    assignment: dict[int, list[int]] = {}
+    for r, fb in first_b.items():
+        lb = last_b[r]
+        cons = []
+        for m in range(k):
+            ok = True
+            for i in range(fb, lb + 1):
+                rel = {u: e for u, e in touch[r].items() if u in interiors[i]}
+                if rel:
+                    mrow = consistent_paths(
+                        rel, pairsets[i], cfg.margin_abs, cfg.margin_rel
+                    )
+                    if not mrow[best_hist[m][i]]:
+                        ok = False
+                        break
+            if ok:
+                cons.append(m)
+        assignment[r] = cons
+
+    return ChainPhaseResult(
+        chain=chain,
+        haplotype_paths=hap_paths,
+        haplotigs=haplotigs,
+        score=float(scores[best_i]),
+        n_candidates_final=len(candidates),
+        read_assignment=assignment,
+    )
+
+
+def phase_all(
+    ug: UnitigGraph,
+    reads: ReadSet,
+    aln: AlignmentTable,
+    chains: list[BubbleChain],
+    cfg: PhaseConfig | None = None,
+) -> list[ChainPhaseResult]:
+    """Phase every chain (independent -> embarrassingly parallel later)."""
+    cfg = cfg or PhaseConfig()
+    touch = read_touch_errs(ug, reads.n_reads, aln)
+    return [phase_chain(ug, reads, aln, c, cfg, touch=touch) for c in chains]

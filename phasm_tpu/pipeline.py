@@ -1,0 +1,149 @@
+"""End-to-end assembly pipeline: alignments -> graph -> phase -> haplotigs.
+
+Ref: the `phasm` CLI stage sequence filter -> layout -> phase
+(SURVEY.md §1); here one call runs all in-memory stages, with the overlap
+stage (phasm's external DAZZ_DB/DALIGNER) provided by phasm_tpu.overlap.
+
+Stage boundaries remain exportable (GFA2 / alignment tables) to keep the
+reference's file-level checkpoint/resume contract (SURVEY.md §6).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from phasm_tpu import dna
+from phasm_tpu.alignments import AlignmentTable
+from phasm_tpu.bubbles import BubbleChain, build_chains, find_superbubbles
+from phasm_tpu.filter import (
+    FilterChain,
+    MaxErrorRate,
+    MinOverlapLength,
+    MinReadLength,
+    ProperOverlapsOnly,
+)
+from phasm_tpu.graph import (
+    build_string_graph,
+    merge_unambiguous_paths,
+    remove_tips,
+    remove_transitive_edges,
+)
+from phasm_tpu.graph.unitigs import UnitigGraph
+from phasm_tpu.phasing import ChainPhaseResult, PhaseConfig, phase_all
+from phasm_tpu.reads import ReadSet
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Knob names mirror the reference CLI flags (SURVEY.md §6)."""
+
+    # stage 1 (filter)
+    min_read_length: int = 1000
+    min_overlap_length: int = 800
+    max_error_rate: float = 0.25  # vs overlap length; tune to read error
+    max_overhang_abs: int = 1000
+    max_overhang_ratio: float = 0.8
+    # stage 2 (layout)
+    length_fuzz: int = 1000
+    max_tip_len: int = 4
+    # stage 3 (phase)
+    phase: PhaseConfig = dataclasses.field(default_factory=PhaseConfig)
+    # evidence: keep alignments below this error for phasing support
+    evidence_max_error: float = 0.3
+
+
+@dataclasses.dataclass
+class AssemblyResult:
+    unitigs: UnitigGraph
+    chains: list[BubbleChain]
+    phase_results: list[ChainPhaseResult]
+    contigs: list[tuple[str, np.ndarray]]  # unphased primary contigs
+    haplotigs: list[tuple[str, np.ndarray]]  # phased per-haplotype sequences
+    stats: dict
+
+    def write_fasta(self, path: str) -> None:
+        from phasm_tpu.io import fasta
+
+        recs = [(n, dna.decode(s)) for n, s in self.haplotigs + self.contigs]
+        fasta.write_fasta(path, recs)
+
+
+def assemble(
+    reads: ReadSet, alignments: AlignmentTable, cfg: PipelineConfig | None = None
+) -> AssemblyResult:
+    """Run filter -> layout -> phase on an alignment table."""
+    cfg = cfg or PipelineConfig()
+    stats: dict = {"n_reads": reads.n_reads, "n_alignments": len(alignments)}
+
+    # ---- stage 1: filter (ref: phasm filter) ----------------------------
+    chain = FilterChain(
+        [
+            MinReadLength(cfg.min_read_length),
+            MinOverlapLength(cfg.min_overlap_length),
+            MaxErrorRate(cfg.max_error_rate),
+            ProperOverlapsOnly(),
+        ],
+        max_overhang_abs=cfg.max_overhang_abs,
+        max_overhang_ratio=cfg.max_overhang_ratio,
+    )
+    ft, types, contained = chain.apply(alignments, reads.lengths)
+    stats["n_proper_overlaps"] = len(ft)
+    stats["n_contained_reads"] = int(contained.sum())
+
+    # ---- stage 2: layout (ref: phasm layout) ----------------------------
+    g = build_string_graph(ft, types, reads.lengths)
+    stats["edges_initial"] = g.n_edges
+    g = remove_transitive_edges(g, fuzz=cfg.length_fuzz)
+    stats["edges_after_reduction"] = g.n_edges
+    g, removed = remove_tips(g, max_tip_len=cfg.max_tip_len)
+    stats["edges_after_tips"] = g.n_edges
+    stats["tip_reads_removed"] = int(removed.sum())
+    ug = merge_unambiguous_paths(g)
+    stats["n_unitigs"] = ug.n_nodes
+
+    # ---- stage 3: phase (ref: phasm phase) ------------------------------
+    bubbles = find_superbubbles(ug)
+    chains = build_chains(ug, bubbles)
+    stats["n_bubbles"] = len(bubbles)
+    stats["n_chains"] = len(chains)
+
+    ev_keep = alignments.diffs <= cfg.evidence_max_error * np.maximum(
+        alignments.overlap_length(), 1
+    )
+    evidence = alignments.take(ev_keep)
+    results = phase_all(ug, reads, evidence, chains, cfg.phase)
+
+    haplotigs = []
+    chain_nodes: set[int] = set()
+    for ci, r in enumerate(results):
+        for m, seq in enumerate(r.haplotigs):
+            haplotigs.append((f"haplotig_c{ci}_h{m}", seq))
+        for nodes in r.haplotype_paths:
+            chain_nodes.update(nodes)
+            chain_nodes.update(int(ug.rc[n]) for n in nodes)
+        for b in r.chain.bubbles:
+            chain_nodes.update(b.interior)
+            chain_nodes.update(int(ug.rc[n]) for n in b.interior)
+
+    # unphased primary contigs: one orientation per remaining unitig pair
+    contigs = []
+    emitted = set()
+    for u in range(ug.n_nodes):
+        if u in chain_nodes or u in emitted:
+            continue
+        d = int(ug.rc[u])
+        emitted.add(u)
+        emitted.add(d)
+        contigs.append((f"contig_u{u}", ug.spell(u, reads)))
+    stats["n_haplotigs"] = len(haplotigs)
+    stats["n_contigs"] = len(contigs)
+
+    return AssemblyResult(
+        unitigs=ug,
+        chains=chains,
+        phase_results=results,
+        contigs=contigs,
+        haplotigs=haplotigs,
+        stats=stats,
+    )

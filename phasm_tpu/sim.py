@@ -35,14 +35,31 @@ def simulate_haplotypes(
     ploidy: int = 2,
     snv_rate: float = 0.01,
     indel_rate: float = 0.001,
+    hotspots: int = 0,
+    hotspot_width: int = 1500,
+    hotspot_rate: float = 0.05,
 ) -> list[np.ndarray]:
-    """Random base haplotype + `ploidy-1` divergent copies (SNVs + short indels)."""
+    """Random base haplotype + `ploidy-1` divergent copies (SNVs + short indels).
+
+    With ``hotspots > 0``, divergence is *clustered*: `hotspots` evenly-spaced
+    windows of `hotspot_width` bp carry dense SNVs at `hotspot_rate`, and the
+    background carries `snv_rate`.  Clustered divergence is what produces
+    superbubble structure in the string graph (cross-haplotype overlaps
+    spanning a hotspot exceed the error-rate filter and break, while the
+    identical background keeps haplotypes merged between bubbles).
+    """
     base = rng.integers(0, 4, size=genome_len).astype(np.uint8)
+    rate = np.full(genome_len, snv_rate)
+    if hotspots > 0:
+        span = genome_len // (hotspots + 1)
+        for i in range(1, hotspots + 1):
+            c = i * span
+            rate[max(0, c - hotspot_width // 2) : c + hotspot_width // 2] = hotspot_rate
     haps = [base]
     for _ in range(ploidy - 1):
         h = base.copy()
-        n_snv = rng.poisson(snv_rate * genome_len)
-        pos = rng.choice(genome_len, size=min(n_snv, genome_len), replace=False)
+        snv_mask = rng.random(genome_len) < rate
+        pos = np.nonzero(snv_mask)[0]
         h[pos] = (h[pos] + rng.integers(1, 4, size=pos.shape[0])) % 4
         # short indels
         n_ind = rng.poisson(indel_rate * genome_len)
@@ -92,15 +109,24 @@ def simulate_reads(
     error_rate: float = 0.05,
     snv_rate: float = 0.01,
     indel_rate: float = 0.0005,
+    hotspots: int = 0,
+    hotspot_width: int = 1500,
+    hotspot_rate: float = 0.05,
+    read_len_spread: float | None = None,
     circular: bool = False,
 ) -> tuple[ReadSet, SimTruth]:
     """Simulate a polyploid read set with ground truth.
 
-    Read lengths ~ clipped exponential around mean (CLR-like); positions
-    uniform; strand uniform; per-base error model in :func:`mutate_read`.
+    Read lengths ~ clipped exponential around mean (CLR-like) by default;
+    with ``read_len_spread`` set, uniform in mean*(1±spread) instead (narrow
+    distributions keep containment low, which bubble-structure tests want).
+    Positions uniform; strand uniform; per-base errors in :func:`mutate_read`.
     """
     rng = np.random.default_rng(seed)
-    haps = simulate_haplotypes(rng, genome_len, ploidy, snv_rate, indel_rate)
+    haps = simulate_haplotypes(
+        rng, genome_len, ploidy, snv_rate, indel_rate,
+        hotspots=hotspots, hotspot_width=hotspot_width, hotspot_rate=hotspot_rate,
+    )
     # `coverage` is per-haplotype depth; total sequenced bases scale with ploidy
     n_reads = int(coverage * genome_len * ploidy / mean_read_len)
     n_reads = max(n_reads, 10)
@@ -109,8 +135,13 @@ def simulate_reads(
     for _ in range(n_reads):
         h = int(rng.integers(0, ploidy))
         hap = haps[h]
-        ln = int(np.clip(rng.exponential(mean_read_len * 0.4) + mean_read_len * 0.6,
-                         min_read_len, mean_read_len * 3))
+        if read_len_spread is not None:
+            lo = mean_read_len * (1.0 - read_len_spread)
+            hi = mean_read_len * (1.0 + read_len_spread)
+            ln = int(rng.uniform(lo, hi))
+        else:
+            ln = int(np.clip(rng.exponential(mean_read_len * 0.4) + mean_read_len * 0.6,
+                             min_read_len, mean_read_len * 3))
         ln = min(ln, hap.shape[0])
         pos = int(rng.integers(0, hap.shape[0] - ln + 1))
         raw = hap[pos : pos + ln]
