@@ -1,0 +1,119 @@
+"""Headline benchmark: overlap alignments/sec/chip (banded extension kernel).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is 1.0 by definition — the reference (AbeelLab/phasm) publishes
+no throughput numbers (BASELINE.md: "published": {}), so this bench IS the
+baseline series the driver tracks across rounds.
+
+Runs the Pallas kernel on TPU (jnp scan path elsewhere), on synthetic noisy
+overlap pairs shaped like the E. coli config (4 kb mean overlaps, ~10%
+pairwise divergence).  Measures steady-state device throughput with
+device-resident inputs (the production engine streams batches, amortizing
+host transfer; see phasm_tpu/overlap/engine.py).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def make_batch(rng, n_reads, read_len, n_pairs, err=0.05):
+    genome = rng.integers(0, 4, 400_000).astype(np.uint8)
+    pos = rng.integers(0, genome.shape[0] - read_len, n_reads)
+    codes = np.stack([genome[p : p + read_len] for p in pos])
+    noise = rng.random(codes.shape) < err
+    codes = np.where(
+        noise, (codes + rng.integers(1, 4, codes.shape)) % 4, codes
+    ).astype(np.uint8)
+    lengths = np.full(n_reads, read_len, dtype=np.int32)
+
+    # overlapping pairs: pick reads within 2kb of each other
+    order = np.argsort(pos, kind="stable")
+    a_idx, b_idx, d0 = [], [], []
+    i = 0
+    while len(a_idx) < n_pairs:
+        x = order[i % (n_reads - 1)]
+        y = order[(i % (n_reads - 1)) + 1]
+        i += 1
+        if pos[y] < pos[x]:
+            x, y = y, x
+        if pos[y] - pos[x] < read_len - 500:
+            a_idx.append(x)
+            b_idx.append(y)
+            d0.append(pos[y] - pos[x])
+    a_oid = 2 * np.array(a_idx[:n_pairs])
+    b_oid = 2 * np.array(b_idx[:n_pairs])
+    d0 = np.array(d0[:n_pairs], dtype=np.int32)
+
+    oriented = np.zeros((2 * n_reads, read_len), dtype=np.uint8)
+    oriented[0::2] = codes
+    for r in range(n_reads):
+        oriented[2 * r + 1] = 3 - codes[r][::-1]
+    return oriented, lengths, a_oid, b_oid, d0
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    from phasm_tpu.overlap.extend import prepare_pair_tensors
+
+    W = 64
+    if backend == "tpu":
+        JMAX, M, iters = 2048, 4096, 10
+    else:
+        JMAX, M, iters = 512, 256, 3
+
+    rng = np.random.default_rng(0)
+    oriented, lengths, a_oid, b_oid, d0 = make_batch(rng, 512, 4096, M)
+    a2, b2, la, lb = prepare_pair_tensors(
+        oriented, lengths, a_oid, b_oid, d0, W, JMAX
+    )
+
+    if backend == "tpu":
+        from phasm_tpu.overlap.extend import _make_pallas_extend
+
+        run = _make_pallas_extend(W, JMAX, 128, False)
+        args = [
+            jax.device_put(x)
+            for x in (
+                d0.astype(np.int32)[None, :],
+                la.astype(np.int32)[None, :],
+                lb.astype(np.int32)[None, :],
+                np.ascontiguousarray(a2.T).astype(np.int32),
+                np.ascontiguousarray(b2.T).astype(np.int32),
+            )
+        ]
+        np.asarray(run(*args))  # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            out = run(*args)
+        np.asarray(out)
+        dt = (time.time() - t0) / iters
+    else:
+        from phasm_tpu.overlap.extend import _get_jit_batch
+
+        runj = _get_jit_batch()
+        args = [jax.device_put(x) for x in (a2, b2, la, lb, d0.astype(np.int32))]
+        np.asarray(runj(*args, band=W)[0])
+        t0 = time.time()
+        for _ in range(iters):
+            out = runj(*args, band=W)
+        np.asarray(out[0])
+        dt = (time.time() - t0) / iters
+
+    aps = M / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"overlap_alignments_per_sec_per_chip[{backend},band{W},j{JMAX}]",
+                "value": round(aps, 1),
+                "unit": "alignments/s/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Overlap engine tests: DP oracle equivalence, seeding recall, engine e2e."""
+import numpy as np
+import pytest
+
+from phasm_tpu.overlap.extend import (
+    banded_overlap_batch,
+    banded_overlap_np,
+    banded_overlap_pallas,
+)
+from phasm_tpu.overlap.seeding import SeedConfig, extract_minimizers, match_seeds
+from phasm_tpu.overlap import OverlapConfig, overlap_reads
+from phasm_tpu.sim import simulate_reads
+
+
+def _mk_pair(rng, la, lb, ovl, err, noise):
+    g = rng.integers(0, 4, la + lb - ovl).astype(np.uint8)
+    a = g[:la].copy()
+    b = g[la - ovl : la - ovl + lb].copy()
+    for p in range(ovl):
+        if rng.random() < err:
+            b[p] = (b[p] + rng.integers(1, 4)) % 4
+    return a, b, la - ovl + noise
+
+
+def _run_batch(a, b, la, lb, d0, W, jmax, fn):
+    oriented = np.zeros((4, jmax), dtype=np.uint8)
+    oriented[0, :la] = a
+    oriented[2, :lb] = b
+    lengths = np.array([la, lb], dtype=np.int32)
+    res = fn(
+        oriented, lengths, np.array([0]), np.array([2]),
+        np.array([d0], dtype=np.int32), band=W, jmax=jmax,
+    )
+    return (
+        int(res.a_start[0]), int(res.a_end[0]), 0,
+        int(res.b_end[0]), int(res.diffs[0]),
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_extend_batch_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    la = int(rng.integers(120, 250))
+    lb = int(rng.integers(120, 250))
+    ovl = int(rng.integers(40, min(la, lb)))
+    err = float(rng.choice([0.0, 0.05, 0.15]))
+    noise = int(rng.integers(-8, 9))
+    a, b, d0 = _mk_pair(rng, la, lb, ovl, err, noise)
+    W = 32
+    want = banded_overlap_np(a, b, d0, W)
+    got = _run_batch(a, b, la, lb, d0, W, 256, banded_overlap_batch)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_extend_pallas_interpret_matches_oracle(seed):
+    rng = np.random.default_rng(100 + seed)
+    la, lb = 150, 160
+    ovl = int(rng.integers(50, 140))
+    a, b, d0 = _mk_pair(rng, la, lb, ovl, 0.08, int(rng.integers(-4, 5)))
+    W = 32
+    want = banded_overlap_np(a, b, d0, W)
+    got = _run_batch(a, b, la, lb, d0, W, 256, banded_overlap_pallas)
+    assert got == want
+
+
+def test_extend_no_overlap_rejected():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 4, 200).astype(np.uint8)
+    b = rng.integers(0, 4, 200).astype(np.uint8)
+    got = _run_batch(a, b, 200, 200, 100, 32, 256, banded_overlap_batch)
+    # random sequences still align *somehow*, but with diff rate near 50%
+    assert got[4] > 0.25 * max(got[1] - got[0], 1)
+
+
+def test_seeding_recall_on_true_overlaps():
+    rs, truth = simulate_reads(
+        seed=5, genome_len=12_000, ploidy=1, coverage=10, mean_read_len=2500,
+        error_rate=0.03, read_len_spread=0.2,
+    )
+    cfg = SeedConfig()
+    seeds = extract_minimizers(rs.codes, rs.lengths, cfg)
+    cands = match_seeds(seeds, rs.lengths, cfg)
+    got = set(zip(cands.a_id.tolist(), cands.b_id.tolist()))
+    pos = truth.read_pos.astype(np.int64)
+    end = pos + rs.lengths
+    want = {
+        (i, j)
+        for i in range(rs.n_reads)
+        for j in range(i + 1, rs.n_reads)
+        if min(end[i], end[j]) - max(pos[i], pos[j]) >= 1000
+    }
+    assert want, "fixture must contain true overlaps"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, f"seeding recall {recall}"
+
+
+def test_engine_noisy_recall_and_determinism():
+    rs, truth = simulate_reads(
+        seed=7, genome_len=12_000, ploidy=1, coverage=10, mean_read_len=2500,
+        error_rate=0.05, read_len_spread=0.2,
+    )
+    t = overlap_reads(rs, OverlapConfig())
+    t2 = overlap_reads(rs, OverlapConfig())
+    assert np.array_equal(t.as_matrix(), t2.as_matrix())
+
+    pos = truth.read_pos.astype(np.int64)
+    end = pos + rs.lengths
+    want = {
+        (i, j)
+        for i in range(rs.n_reads)
+        for j in range(i + 1, rs.n_reads)
+        if min(end[i], end[j]) - max(pos[i], pos[j]) >= 1500
+    }
+    got = set(zip(t.a_id.tolist(), t.b_id.tolist()))
+    recall = len(got & want) / max(len(want), 1)
+    assert recall >= 0.95, f"engine recall {recall}"
+    er = t.diffs / np.maximum(t.overlap_length(), 1)
+    assert 0.05 < float(np.median(er)) < 0.16
+
+
+def test_full_pipeline_from_reads_noisy_haploid():
+    from phasm_tpu.pipeline import PipelineConfig, assemble
+
+    rs, truth = simulate_reads(
+        seed=7, genome_len=15_000, ploidy=1, coverage=12, mean_read_len=3000,
+        error_rate=0.05, read_len_spread=0.2,
+    )
+    t = overlap_reads(rs, OverlapConfig())
+    cfg = PipelineConfig(min_overlap_length=500, max_error_rate=0.16, length_fuzz=500)
+    res = assemble(rs, t, cfg)
+    assert res.stats["n_contigs"] == 1
+    assert len(res.contigs[0][1]) > 0.9 * 15_000

@@ -1,0 +1,52 @@
+"""Sharding tests on the virtual 8-device CPU mesh (conftest forces it)."""
+import numpy as np
+
+from phasm_tpu.overlap.extend import banded_overlap_batch, prepare_pair_tensors
+from phasm_tpu.parallel import make_mesh, sharded_extend_step
+
+
+def test_mesh_has_8_devices():
+    import jax
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_extend_matches_single_device():
+    rng = np.random.default_rng(0)
+    N, L, W, JMAX = 32, 512, 32, 256
+    oriented = rng.integers(0, 4, (2 * N, L)).astype(np.uint8)
+    lengths = np.full(N, L, dtype=np.int32)
+    M = 64
+    a_oid = 2 * rng.integers(0, N, M)
+    b_oid = 2 * rng.integers(0, N, M)
+    d0 = rng.integers(0, 64, M).astype(np.int32)
+
+    want = banded_overlap_batch(oriented, lengths, a_oid, b_oid, d0, band=W, jmax=JMAX)
+
+    a2, b2, la, lb = prepare_pair_tensors(oriented, lengths, a_oid, b_oid, d0, W, JMAX)
+    mesh = make_mesh()
+    run = sharded_extend_step(mesh, band=W)
+    out = run(a2, b2, la, lb, d0.astype(np.int32))
+    assert out.shape == (M, 4)
+    assert np.array_equal(out[:, 0], want.diffs)
+    assert np.array_equal(out[:, 1], want.a_start)
+    assert np.array_equal(out[:, 2], want.a_end)
+    assert np.array_equal(out[:, 3], want.b_end)
+
+
+def test_sharded_extend_2_device_subset():
+    rng = np.random.default_rng(1)
+    N, L, W, JMAX = 16, 256, 16, 128
+    oriented = rng.integers(0, 4, (2 * N, L)).astype(np.uint8)
+    lengths = np.full(N, L, dtype=np.int32)
+    M = 16
+    a_oid = 2 * rng.integers(0, N, M)
+    b_oid = 2 * rng.integers(0, N, M)
+    d0 = rng.integers(0, 32, M).astype(np.int32)
+    a2, b2, la, lb = prepare_pair_tensors(oriented, lengths, a_oid, b_oid, d0, W, JMAX)
+
+    out2 = sharded_extend_step(make_mesh(2), band=W)(a2, b2, la, lb, d0)
+    out8 = sharded_extend_step(make_mesh(8), band=W)(a2, b2, la, lb, d0)
+    assert np.array_equal(out2, out8)
