@@ -1,0 +1,131 @@
+"""GFA2 round-trip, DALIGNER-dump interop, CLI smoke tests."""
+import io
+
+import numpy as np
+
+from phasm_tpu.alignments import AlignmentTable
+from phasm_tpu.graph import build_string_graph
+from phasm_tpu.io import daligner, gfa
+from phasm_tpu.sim import simulate_reads, truth_alignments
+
+
+def small_graph():
+    rs, truth = simulate_reads(
+        seed=3, genome_len=10_000, ploidy=1, coverage=10, mean_read_len=2500,
+        error_rate=0.0, indel_rate=0.0,
+    )
+    t = truth_alignments(rs, truth, min_overlap=400)
+    types = t.classify(rs.lengths)
+    g = build_string_graph(t, types, rs.lengths)
+    return g, rs
+
+
+def test_gfa2_roundtrip(tmp_path):
+    g, rs = small_graph()
+    path = str(tmp_path / "g.gfa2")
+    gfa.write_gfa2(path, g, rs)
+    g2, rs2 = gfa.read_gfa2(path)
+    # node ids shift (only used reads are serialized) -> compare canonical
+    # edge multiset via (src_len, dst_len, elen, ovl) + counts
+    assert g2.n_edges == g.n_edges
+    key1 = sorted(zip(g.elen.tolist(), g.ovl.tolist()))
+    key2 = sorted(zip(g2.elen.tolist(), g2.ovl.tolist()))
+    assert key1 == key2
+    assert g2.check_symmetric()
+
+
+def test_gfa2_full_fidelity_when_all_reads_used(tmp_path):
+    g, rs = small_graph()
+    used = np.zeros(g.n_nodes // 2, dtype=bool)
+    used[np.concatenate([g.src, g.dst]) >> 1] = True
+    if not used.all():
+        # restrict readset to used reads for an id-stable round-trip
+        import pytest
+
+        pytest.skip("fixture has unused reads")
+    path = str(tmp_path / "g.gfa2")
+    gfa.write_gfa2(path, g, rs)
+    g2, _ = gfa.read_gfa2(path)
+    assert np.array_equal(g.src, g2.src)
+    assert np.array_equal(g.dst, g2.dst)
+    assert np.array_equal(g.elen, g2.elen)
+
+
+def test_ladump_roundtrip(tmp_path):
+    t = AlignmentTable.from_rows(
+        [
+            (0, 1, 0, 600, 995, 5, 400, 12),
+            (1, 2, 1, 5, 400, 100, 495, 3),
+        ]
+    )
+    path = str(tmp_path / "aln.las.txt")
+    daligner.write_ladump(path, t)
+    with open(path) as fh:
+        t2 = daligner.parse_local_alignments(fh)
+    assert np.array_equal(t.as_matrix(), t2.as_matrix())
+
+
+def test_ladump_parses_reference_style_stream():
+    stream = io.StringIO(
+        """+ P 2
+% P 2
+P 1 2 n
+C 100 200 0 100
+D 7
+P 3 4 c
+C 0 50 10 60
+D 2
+"""
+    )
+    t = daligner.parse_local_alignments(stream)
+    assert len(t) == 2
+    assert t.a_id.tolist() == [0, 2]  # 1-based -> 0-based
+    assert t.strand.tolist() == [0, 1]
+    assert t.diffs.tolist() == [7, 2]
+
+
+def test_dbdump_parse():
+    stream = io.StringIO(
+        """R 1
+L 0 0 8
+S 8 ACGTACGT
+R 2
+S 4 TTGG
+"""
+    )
+    rs = daligner.parse_reads(stream)
+    assert rs.n_reads == 2
+    assert rs.oriented_str(0) == "ACGTACGT"
+    assert rs.oriented_str(2) == "TTGG"
+
+
+def test_npz_roundtrip(tmp_path):
+    t = AlignmentTable.from_rows([(0, 1, 0, 1, 2, 3, 4, 5)])
+    p = str(tmp_path / "t.npz")
+    daligner.save_table_npz(p, t)
+    t2 = daligner.load_table_npz(p)
+    assert np.array_equal(t.as_matrix(), t2.as_matrix())
+
+
+def test_cli_stage_pipeline(tmp_path):
+    """simulate -> overlap -> filter -> layout -> phase -> pipeline."""
+    from phasm_tpu import cli
+
+    d = str(tmp_path)
+    cli.main(
+        f"simulate --out {d}/r.fa --seed 3 --genome-len 8000 --ploidy 1 "
+        f"--coverage 10 --read-len 2000 --error-rate 0.04".split()
+    )
+    cli.main(f"overlap {d}/r.fa --out {d}/a.npz --backend jnp".split())
+    cli.main(
+        f"filter {d}/r.fa {d}/a.npz --out {d}/f.npz "
+        f"--min-read-length 500 --min-overlap-length 400 --max-error-rate 0.15".split()
+    )
+    cli.main(f"layout {d}/r.fa {d}/f.npz --out {d}/g.gfa2 --length-fuzz 400".split())
+    cli.main(f"phase {d}/r.fa {d}/g.gfa2 {d}/a.npz --out {d}/h.fa".split())
+    import os
+
+    for f in ("r.fa", "a.npz", "f.npz", "g.gfa2", "h.fa"):
+        assert os.path.exists(f"{d}/{f}")
+    g, rs = gfa.read_gfa2(f"{d}/g.gfa2")
+    assert g.n_edges > 0
