@@ -1,0 +1,168 @@
+// phasm_native: C++ host-side kernels for the TPU assembly engine.
+//
+// Replaces the role DAZZ_DB/DALIGNER's C code plays on the host side of the
+// reference pipeline (SURVEY.md §3.2): read packing and k-mer/minimizer
+// index construction.  The device side (banded DP) is Pallas; these are the
+// host hot loops that feed it.  Semantics are bit-identical to the numpy
+// implementations in phasm_tpu/overlap/seeding.py (tested for equality);
+// numpy remains the oracle/fallback.
+//
+// Build: see native/Makefile (g++ -O3 -shared -fPIC).  Loaded via ctypes
+// (phasm_tpu/native.py) — no pybind11 in this environment.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <vector>
+
+namespace {
+
+// splitmix-style mixer — MUST match seeding._hash64 exactly
+inline uint64_t hash64(uint64_t x) {
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+inline uint64_t revcomp_kmer(uint64_t v, int k) {
+  uint64_t out = 0;
+  for (int i = 0; i < k; ++i) {
+    out = (out << 2) | (3ULL - (v & 3ULL));
+    v >>= 2;
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// 2-bit pack (DAZZ_DB storage form): 4 bases/byte, little-endian in byte.
+void pack_2bit(const uint8_t* codes, int64_t n, uint8_t* out) {
+  for (int64_t i = 0; i < n / 4; ++i) {
+    const uint8_t* c = codes + 4 * i;
+    out[i] = (uint8_t)((c[0] & 3) | ((c[1] & 3) << 2) | ((c[2] & 3) << 4) |
+                       ((c[3] & 3) << 6));
+  }
+}
+
+// Minimizer extraction over a dense read matrix.
+//
+// codes    [n_reads, lpad] row-major base codes 0..3
+// lengths  [n_reads]
+// outputs: per-seed read id / fwd position / canonical kmer / orientation
+// returns the number of seeds written (<= cap), or -1 if cap exceeded.
+int64_t extract_minimizers(const uint8_t* codes, int64_t n_reads, int64_t lpad,
+                           const int32_t* lengths, int32_t k, int32_t w,
+                           int32_t* out_read, int32_t* out_pos,
+                           uint64_t* out_canon, uint8_t* out_orient,
+                           int64_t cap) {
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  int64_t n_out = 0;
+  std::vector<uint64_t> canon;
+  std::vector<uint64_t> hash;
+  std::vector<uint8_t> orient;
+
+  for (int64_t r = 0; r < n_reads; ++r) {
+    const uint8_t* row = codes + r * lpad;
+    const int32_t len = lengths[r];
+    const int32_t nk = len - k + 1;
+    if (nk <= 0) continue;
+
+    canon.assign(nk, 0);
+    hash.assign(nk, 0);
+    orient.assign(nk, 0);
+
+    // rolling forward and reverse-complement kmers
+    uint64_t fwd = 0, rev = 0;
+    for (int32_t i = 0; i < len; ++i) {
+      fwd = ((fwd << 2) | (row[i] & 3)) & mask;
+      rev = (rev >> 2) | ((3ULL - (row[i] & 3)) << (2 * (k - 1)));
+      if (i >= k - 1) {
+        const int32_t p = i - k + 1;
+        const bool rc_smaller = rev < fwd;
+        orient[p] = rc_smaller ? 1 : 0;
+        canon[p] = rc_smaller ? rev : fwd;
+        hash[p] = hash64(canon[p]);
+      }
+    }
+
+    // window minima, first-min tie-break (== numpy argmin), dedup positions
+    const int32_t win = (nk <= w) ? nk : w;
+    std::deque<int32_t> dq;
+    int32_t last_pick = -1;
+    auto emit = [&](int32_t p) -> bool {
+      if (p == last_pick) return true;
+      last_pick = p;
+      if (n_out >= cap) return false;
+      out_read[n_out] = (int32_t)r;
+      out_pos[n_out] = p;
+      out_canon[n_out] = canon[p];
+      out_orient[n_out] = orient[p];
+      ++n_out;
+      return true;
+    };
+    std::vector<int32_t> picks;
+    for (int32_t i = 0; i < nk; ++i) {
+      while (!dq.empty() && hash[i] < hash[dq.back()]) dq.pop_back();
+      dq.push_back(i);
+      if (dq.front() <= i - win) dq.pop_front();
+      if (i >= win - 1) picks.push_back(dq.front());
+    }
+    if (picks.empty() && nk > 0) picks.push_back((int32_t)(std::min_element(hash.begin(), hash.end()) - hash.begin()));
+    std::sort(picks.begin(), picks.end());
+    picks.erase(std::unique(picks.begin(), picks.end()), picks.end());
+    for (int32_t p : picks)
+      if (!emit(p)) return -1;
+  }
+  return n_out;
+}
+
+// Seed matching: sort seeds by (canon, read_id) and emit all cross-read
+// pairs per bucket (buckets larger than max_occ skipped), with relative
+// strand and diagonal in the a-forward frame (a = smaller read id).
+// Returns pairs written (<= cap) or -1 on overflow.
+int64_t match_seed_pairs(const int32_t* read_id, const int32_t* pos,
+                         const uint64_t* canon, const uint8_t* orient,
+                         int64_t n_seeds, const int32_t* lengths, int32_t k,
+                         int32_t max_occ, int32_t* out_a, int32_t* out_b,
+                         int32_t* out_strand, int32_t* out_diag, int64_t cap) {
+  std::vector<int64_t> order(n_seeds);
+  for (int64_t i = 0; i < n_seeds; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+    if (canon[x] != canon[y]) return canon[x] < canon[y];
+    return read_id[x] < read_id[y];
+  });
+
+  int64_t n_out = 0;
+  int64_t s = 0;
+  while (s < n_seeds) {
+    int64_t e = s + 1;
+    while (e < n_seeds && canon[order[e]] == canon[order[s]]) ++e;
+    const int64_t c = e - s;
+    if (c >= 2 && c <= max_occ) {
+      for (int64_t x = s; x < e; ++x) {
+        for (int64_t y = x + 1; y < e; ++y) {
+          int64_t i = order[x], j = order[y];
+          if (read_id[i] == read_id[j]) continue;
+          if (read_id[i] > read_id[j]) std::swap(i, j);
+          const int32_t a = read_id[i], b = read_id[j];
+          const int32_t st = orient[i] ^ orient[j];
+          const int32_t lb = lengths[b];
+          const int32_t pb_or = st ? (lb - k - pos[j]) : pos[j];
+          if (n_out >= cap) return -1;
+          out_a[n_out] = a;
+          out_b[n_out] = b;
+          out_strand[n_out] = st;
+          out_diag[n_out] = pos[i] - pb_or;
+          ++n_out;
+        }
+      }
+    }
+    s = e;
+  }
+  return n_out;
+}
+
+}  // extern "C"

@@ -1,0 +1,132 @@
+"""ctypes loader for the C++ host kernels (native/phasm_native.cpp).
+
+Load order: prebuilt `native/libphasm_native.so` -> build once with g++ into
+the same directory -> None (callers fall back to the numpy implementations,
+which are the tested oracles).  No pybind11 in this environment; the ABI is
+plain C arrays via ctypes.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SO = os.path.join(_NATIVE_DIR, "libphasm_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "phasm_native.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
+             "-shared", "-o", _SO, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception as e:  # pragma: no cover
+        log.warning("native build failed: %s", e)
+        return False
+
+
+def get_lib():
+    """The loaded library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:  # pragma: no cover
+        log.warning("native load failed: %s", e)
+        return None
+
+    i64, i32, u64, u8 = (
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_uint64,
+        ctypes.c_uint8,
+    )
+    p = ctypes.POINTER
+    lib.extract_minimizers.restype = i64
+    lib.extract_minimizers.argtypes = [
+        p(u8), i64, i64, p(i32), i32, i32, p(i32), p(i32), p(u64), p(u8), i64,
+    ]
+    lib.match_seed_pairs.restype = i64
+    lib.match_seed_pairs.argtypes = [
+        p(i32), p(i32), p(u64), p(u8), i64, p(i32), i32, i32,
+        p(i32), p(i32), p(i32), p(i32), i64,
+    ]
+    lib.pack_2bit.restype = None
+    lib.pack_2bit.argtypes = [p(u8), i64, p(u8)]
+    _lib = lib
+    return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def extract_minimizers_native(codes, lengths, k, w):
+    """C++ minimizer extraction; returns (read_id, pos, canon, orient) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    n, lpad = codes.shape
+    cap = int(codes.shape[0] * max(codes.shape[1] // max(w // 2, 1), 8) + 1024)
+    while True:
+        out_read = np.empty(cap, np.int32)
+        out_pos = np.empty(cap, np.int32)
+        out_canon = np.empty(cap, np.uint64)
+        out_orient = np.empty(cap, np.uint8)
+        got = lib.extract_minimizers(
+            _ptr(codes, ctypes.c_uint8), n, lpad, _ptr(lengths, ctypes.c_int32),
+            k, w, _ptr(out_read, ctypes.c_int32), _ptr(out_pos, ctypes.c_int32),
+            _ptr(out_canon, ctypes.c_uint64), _ptr(out_orient, ctypes.c_uint8),
+            cap,
+        )
+        if got >= 0:
+            return out_read[:got], out_pos[:got], out_canon[:got], out_orient[:got]
+        cap *= 2
+
+
+def match_seed_pairs_native(read_id, pos, canon, orient, lengths, k, max_occ):
+    """C++ per-bucket pair emission; returns (a, b, strand, diag) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    read_id = np.ascontiguousarray(read_id, dtype=np.int32)
+    pos = np.ascontiguousarray(pos, dtype=np.int32)
+    canon = np.ascontiguousarray(canon, dtype=np.uint64)
+    orient = np.ascontiguousarray(orient, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    cap = max(int(read_id.shape[0]) * 8, 1 << 16)
+    while True:
+        a = np.empty(cap, np.int32)
+        b = np.empty(cap, np.int32)
+        st = np.empty(cap, np.int32)
+        dg = np.empty(cap, np.int32)
+        got = lib.match_seed_pairs(
+            _ptr(read_id, ctypes.c_int32), _ptr(pos, ctypes.c_int32),
+            _ptr(canon, ctypes.c_uint64), _ptr(orient, ctypes.c_uint8),
+            read_id.shape[0], _ptr(lengths, ctypes.c_int32), k, max_occ,
+            _ptr(a, ctypes.c_int32), _ptr(b, ctypes.c_int32),
+            _ptr(st, ctypes.c_int32), _ptr(dg, ctypes.c_int32), cap,
+        )
+        if got >= 0:
+            return a[:got], b[:got], st[:got], dg[:got]
+        cap *= 2

@@ -72,8 +72,28 @@ class Seeds:
 
 
 def extract_minimizers(
-    codes: np.ndarray, lengths: np.ndarray, cfg: SeedConfig
+    codes: np.ndarray, lengths: np.ndarray, cfg: SeedConfig, use_native: bool = True
 ) -> Seeds:
+    """Minimizer seeds; C++ fast path (phasm_tpu.native) when available.
+
+    Window semantics (identical in both implementations): for each read with
+    nk = len-k+1 kmer positions, windows are [s, s+w) for s in [0, nk-w]
+    (one argmin pick per window, first-index tie-break); reads shorter than
+    one window contribute their single global argmin.
+    """
+    if use_native:
+        from phasm_tpu import native
+
+        out = native.extract_minimizers_native(codes, lengths, cfg.k, cfg.window)
+        if out is not None:
+            read_id, pos, canon, orient = out
+            return Seeds(
+                read_id=read_id,
+                pos=pos,
+                canon=canon,
+                orient=orient.astype(np.uint8),
+            )
+
     vals, valid = kmer_values(codes, lengths, cfg.k)
     rc = revcomp_kmer(vals, cfg.k)
     orient = (rc < vals).astype(np.uint8)
@@ -83,16 +103,20 @@ def extract_minimizers(
 
     n, Lk = h.shape
     w = cfg.window
-    if Lk <= w:
-        win_arg = np.argmin(h, axis=1)[:, None]
-    else:
+    if Lk > w:
         sw = np.lib.stride_tricks.sliding_window_view(h, w, axis=1)
         win_arg = np.argmin(sw, axis=2) + np.arange(sw.shape[1])[None, :]
-    # dedupe repeated picks per read
+    else:
+        win_arg = None
     rid, sel = [], []
     for i in range(n):
-        picks = np.unique(win_arg[i])
-        picks = picks[valid[i, picks]]
+        nk = int(lengths[i]) - cfg.k + 1
+        if nk <= 0:
+            continue
+        if nk <= w or win_arg is None:
+            picks = np.array([int(np.argmin(h[i, :nk]))])
+        else:
+            picks = np.unique(win_arg[i, : nk - w + 1])
         rid.append(np.full(picks.shape[0], i, dtype=np.int32))
         sel.append(picks.astype(np.int32))
     read_id = np.concatenate(rid) if rid else np.zeros(0, np.int32)
@@ -119,19 +143,18 @@ class Candidates:
         return int(self.a_id.shape[0])
 
 
-def match_seeds(seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig) -> Candidates:
-    """Sort-merge seed matching -> candidate pair histogram."""
+def emit_pairs_np(seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig):
+    """numpy oracle for raw pair emission: (a, b, strand, diag) arrays."""
     order = np.lexsort((seeds.read_id, seeds.canon))
     canon = seeds.canon[order]
     rid = seeds.read_id[order]
     pos = seeds.pos[order]
     ori = seeds.orient[order]
 
-    # bucket boundaries
+    z = np.zeros(0, np.int32)
     S = canon.shape[0]
     if S == 0:
-        z = np.zeros(0, np.int32)
-        return Candidates(z, z, z, z, z)
+        return z, z, z, z
     new = np.ones(S, dtype=bool)
     new[1:] = canon[1:] != canon[:-1]
     starts = np.nonzero(new)[0]
@@ -147,8 +170,7 @@ def match_seeds(seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig) -> Candidate
         pa.append(i[m])
         pb.append(j[m])
     if not pa:
-        z = np.zeros(0, np.int32)
-        return Candidates(z, z, z, z, z)
+        return z, z, z, z
     i = np.concatenate(pa)
     j = np.concatenate(pb)
 
@@ -170,7 +192,34 @@ def match_seeds(seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig) -> Candidate
     # sits at lb - k - pb on revcomp(b)
     lb = lengths[b]
     pb_or = np.where(st == 1, lb - cfg.k - pb_, pb_)
-    diag = (pa_ - pb_or).astype(np.int64)
+    diag = (pa_ - pb_or).astype(np.int32)
+    return a.astype(np.int32), b.astype(np.int32), st, diag
+
+
+def match_seeds(
+    seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig, use_native: bool = True
+) -> Candidates:
+    """Sort-merge seed matching -> candidate pair histogram.
+
+    Raw pair emission runs in C++ when available (bit-identical pair SET;
+    the histogram below is order-insensitive), numpy otherwise.
+    """
+    out = None
+    if use_native:
+        from phasm_tpu import native
+
+        out = native.match_seed_pairs_native(
+            seeds.read_id, seeds.pos, seeds.canon, seeds.orient,
+            lengths, cfg.k, cfg.max_occ,
+        )
+    if out is not None:
+        a, b, st, diag = out
+    else:
+        a, b, st, diag = emit_pairs_np(seeds, lengths, cfg)
+    if a.shape[0] == 0:
+        z = np.zeros(0, np.int32)
+        return Candidates(z, z, z, z, z)
+    diag = diag.astype(np.int64)
 
     # histogram over (a, b, strand, diag band)
     band = np.floor_divide(diag + (1 << 20), cfg.diag_band)  # offset keeps >= 0
