@@ -60,7 +60,9 @@ def main():
 
     W = 64
     if backend == "tpu":
-        JMAX, M, iters = 2048, 4096, 10
+        # large batch amortizes the per-call dispatch overhead (~5 ms through
+        # the axon tunnel); production engine batches the same way
+        JMAX, M, iters = 2048, 16384, 5
     else:
         JMAX, M, iters = 512, 256, 3
 

@@ -28,7 +28,13 @@ import dataclasses
 
 import numpy as np
 
-BIG = np.int32(1 << 28)
+# cost values never exceed jmax + W (< 2**15 for every bucket); BIG marks
+# "no alignment found".  PACK packs (cost, start-offset) into one int32:
+# P = cost * PACK + s_rel with s_rel in [0, W) and W <= 128.
+BIG = np.int32(1 << 15)
+PACK = 128
+BIGP = np.int32((1 << 15) * PACK)  # packed no-result
+BIGK = np.int32(1 << 30)  # endpoint-key no-result
 
 
 @dataclasses.dataclass
@@ -54,9 +60,13 @@ def banded_overlap_np(
     hi = d0 + band // 2  # exclusive
     INF = 1 << 28
 
-    # D[j][i] over the band only, but implement dense for clarity
+    # D[j][i] over the band only, but implement dense for clarity.
+    # Per-cell value is the lexicographic pair (cost, start_i0): ties between
+    # equal-cost paths break toward the SMALLER start (== longer alignment),
+    # exactly the semantics of the packed cost*W'+s_rel min in the device
+    # kernels.
     D = np.full((lb + 1, la + 1), INF, dtype=np.int64)
-    S = np.full((lb + 1, la + 1), -1, dtype=np.int64)  # start i0
+    S = np.full((lb + 1, la + 1), INF, dtype=np.int64)  # start i0
     for i in range(la + 1):
         if lo <= i < hi:  # starts allowed near the seed diagonal
             D[0][i] = 0
@@ -66,17 +76,14 @@ def banded_overlap_np(
             d = i - j
             if not (lo <= d < hi):
                 continue
-            best, bs = INF, -1
+            best = (INF, INF)
             if i > 0:
                 sub = 0 if a[i - 1] == b[j - 1] else 1
-                if D[j - 1][i - 1] + sub < best:
-                    best, bs = D[j - 1][i - 1] + sub, S[j - 1][i - 1]
-            if D[j - 1][i] + 1 < best:
-                best, bs = D[j - 1][i] + 1, S[j - 1][i]
-            if i > 0 and D[j][i - 1] + 1 < best:
-                best, bs = D[j][i - 1] + 1, S[j][i - 1]
-            D[j][i] = best
-            S[j][i] = bs
+                best = min(best, (D[j - 1][i - 1] + sub, S[j - 1][i - 1]))
+            best = min(best, (D[j - 1][i] + 1, S[j - 1][i]))
+            if i > 0:
+                best = min(best, (D[j][i - 1] + 1, S[j][i - 1]))
+            D[j][i], S[j][i] = best
 
     # best end: i == la (any j >= 1) or j == lb (any i)
     best = (INF, -1, -1)  # (cost, -alignlen, j_end) for deterministic ties
@@ -112,117 +119,112 @@ def dp_core(a2, b2, la, lb, d0, band):
 
     a2 [B, J + W] band-aligned a-codes (see prepare_pair_tensors);
     b2 [B, J]; la/lb/d0 [B].  Returns (cost, i0, a_end, b_end) each [B].
+
+    DP state is ONE packed int32 per band cell: ``P = cost * PACK + s_rel``
+    where ``s_rel = i0 - (d0 - W/2)`` is the start offset within the band
+    (always in [0, W), W <= 128).  A single lexicographic min then carries
+    both the edit cost and the deterministic smaller-start tie-break,
+    halving the vector state and the shift/min work of the inner loop.
+
+    Endpoint selection replicates the oracle's (cost, -align_len, first-w)
+    tie-break via a 3-component key:
+        key = cost * 2^15 + (W-1 - w + s_rel) * 2^7 + w
+    (middle component is monotone in -align_len for fixed column).
     """
     import jax
     import jax.numpy as jnp
 
-    if True:
-        if True:
-            B, J = b2.shape
-            W = band
-            iota_w = jnp.arange(W, dtype=jnp.int32)
+    B, J = b2.shape
+    W = band
+    assert W <= PACK
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    STEP = jnp.int32(PACK)
 
-            # i index per (w, j): i = d0 + j + w - W/2 (cell ending at column j+1)
-            # C[w] = cost of best path to (i(w,j), j); S[w] = start i0
-            i_at_j0 = d0[:, None] + iota_w[None, :] - W // 2  # i at j=0
-            C0 = jnp.where(
-                (i_at_j0 >= 0) & (i_at_j0 <= la[:, None]), 0, BIG
-            ).astype(jnp.int32)
-            S0 = i_at_j0.astype(jnp.int32)
+    i_at_j0 = d0[:, None] + iota_w[None, :] - W // 2  # i at j=0
+    s_rel0 = jnp.zeros_like(d0)[:, None] + iota_w[None, :]
+    P0 = jnp.where(
+        (i_at_j0 >= 0) & (i_at_j0 <= la[:, None]), s_rel0, BIGP
+    ).astype(jnp.int32)
 
-            def prefix_min_scan(pre_c, pre_s):
-                # m[w] = min_{t<=w} (pre_c[t] - t); carry start of argmin
-                xc = pre_c - iota_w[None, :]
-                xs = pre_s
-                shift = 1
-                while shift < W:
-                    xc_sh = jnp.concatenate(
-                        [jnp.full((B, shift), BIG, jnp.int32), xc[:, :-shift]], axis=1
-                    )
-                    xs_sh = jnp.concatenate(
-                        [jnp.zeros((B, shift), jnp.int32), xs[:, :-shift]], axis=1
-                    )
-                    take = xc_sh < xc  # strict: prefer current (later t) on ties
-                    xc = jnp.where(take, xc_sh, xc)
-                    xs = jnp.where(take, xs_sh, xs)
-                    shift *= 2
-                return xc + iota_w[None, :], xs
-
-            def body(j, carry):
-                C, S, best_cost, best_len, best_i0, best_iend, best_jend = carry
-                aw = jax.lax.dynamic_slice_in_dim(a2, j, W, axis=1)  # [B, W]
-                bc = jax.lax.dynamic_slice_in_dim(b2, j, 1, axis=1)  # [B, 1]
-                sub = (aw != bc).astype(jnp.int32)
-                i_cell = d0[:, None] + (j + 1) + iota_w[None, :] - W // 2
-
-                diag_c = C + sub
-                up_c = jnp.concatenate(
-                    [C[:, 1:], jnp.full((B, 1), BIG, jnp.int32)], axis=1
-                ) + 1
-                up_s = jnp.concatenate(
-                    [S[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
-                )
-                take_up = up_c < diag_c
-                pre_c = jnp.where(take_up, up_c, diag_c)
-                pre_s = jnp.where(take_up, up_s, S)
-                Cn, Sn = prefix_min_scan(pre_c, pre_s)
-                # invalidate cells outside [0, la] on a-axis or beyond column
-                valid = (i_cell >= 0) & (i_cell <= la[:, None]) & (j < lb)[:, None]
-                Cn = jnp.where(valid, Cn, BIG)
-                Cn = jnp.minimum(Cn, BIG)
-
-                def consider(state, cost, i0, i_end, mask):
-                    bc, bl, b0, bi, bj = state
-                    alen = (i_end - i0) + (j + 1)
-                    better = mask & (
-                        (cost < bc) | ((cost == bc) & (alen > bl))
-                    )
-                    return (
-                        jnp.where(better, cost, bc),
-                        jnp.where(better, alen, bl),
-                        jnp.where(better, i0, b0),
-                        jnp.where(better, i_end, bi),
-                        jnp.where(better, j + 1, bj),
-                    )
-
-                state = (best_cost, best_len, best_i0, best_iend, best_jend)
-
-                # endpoint: i == la at this column (j+1): at most one cell
-                at_la = i_cell == la[:, None]
-                cost_la = jnp.where(at_la, Cn, BIG).min(axis=1)
-                arg_la = jnp.where(at_la, Cn, BIG).argmin(axis=1)
-                i0_la = jnp.take_along_axis(Sn, arg_la[:, None], axis=1)[:, 0]
-                state = consider(state, cost_la, i0_la, la, cost_la < BIG)
-
-                # endpoint: j+1 == lb (b exhausted): best cell in final column
-                at_end = (j + 1) == lb
-                cost_be = Cn.min(axis=1)
-                arg_be = Cn.argmin(axis=1)
-                i_be = jnp.take_along_axis(i_cell, arg_be[:, None], axis=1)[:, 0]
-                i0_be = jnp.take_along_axis(Sn, arg_be[:, None], axis=1)[:, 0]
-                state = consider(
-                    state, cost_be, i0_be, jnp.minimum(i_be, la),
-                    at_end & (cost_be < BIG),
-                )
-
-                best_cost, best_len, best_i0, best_iend, best_jend = state
-                return (Cn, Sn, best_cost, best_len, best_i0, best_iend, best_jend)
-
-            # init derives from d0 (full_like) so the carry keeps the same
-            # varying-axes type as the inputs under shard_map
-            zero = jnp.zeros_like(d0, dtype=jnp.int32)
-            init = (
-                C0,
-                S0,
-                zero + BIG,
-                zero - 1,
-                zero,
-                zero,
-                zero,
+    def prefix_min_scan(pre):
+        # m[w] = min_{t<=w} (pre[t] + (w - t)*STEP), packed
+        x = pre - iota_w[None, :] * STEP
+        shift = 1
+        while shift < W:
+            x_sh = jnp.concatenate(
+                [jnp.full((B, shift), BIGP, jnp.int32), x[:, :-shift]], axis=1
             )
-            out = jax.lax.fori_loop(0, J, body, init)
-            _, _, bc_, _, bi0, bie, bje = out
-            return bc_, bi0, bie, bje
+            x = jnp.minimum(x, x_sh)
+            shift *= 2
+        return x + iota_w[None, :] * STEP
+
+    def body(j, carry):
+        P, best_cost, best_len, best_i0, best_iend, best_jend = carry
+        aw = jax.lax.dynamic_slice_in_dim(a2, j, W, axis=1)  # [B, W]
+        bc = jax.lax.dynamic_slice_in_dim(b2, j, 1, axis=1)  # [B, 1]
+        sub = (aw != bc).astype(jnp.int32) * STEP
+        i_cell = d0[:, None] + (j + 1) + iota_w[None, :] - W // 2
+
+        diag = P + sub
+        up = jnp.concatenate(
+            [P[:, 1:], jnp.full((B, 1), BIGP, jnp.int32)], axis=1
+        ) + STEP
+        Pn = prefix_min_scan(jnp.minimum(diag, up))
+        valid = (i_cell >= 0) & (i_cell <= la[:, None]) & (j < lb)[:, None]
+        Pn = jnp.minimum(jnp.where(valid, Pn, BIGP), BIGP)
+
+        base = d0 - W // 2  # i0 = s_rel + base
+
+        # endpoint keys for every band cell of this column
+        cost = Pn // PACK
+        s_rel = Pn % PACK
+        key = cost * (1 << 15) + (W - 1 - iota_w[None, :] + s_rel) * (1 << 7) + iota_w[None, :]
+        key = jnp.where(Pn < BIGP, key, BIGK)
+
+        def consider(state, cand_key, mask):
+            """Unpack the column-best key and apply the oracle's cross-column
+            tie-break (cost, then longer alignment, then earlier column)."""
+            bcost, blen, b0, bi, bj = state
+            ck = jnp.where(mask, cand_key, BIGK)
+            cost = ck // (1 << 15)
+            w_sel = ck % (1 << 7)
+            mid = (ck // (1 << 7)) % (1 << 8)
+            s_sel = mid - (W - 1) + w_sel
+            i0 = s_sel + base
+            i_end = jnp.minimum(d0 + (j + 1) + w_sel - W // 2, la)
+            alen = (i_end - i0) + (j + 1)
+            better = (ck < BIGK) & (
+                (cost < bcost) | ((cost == bcost) & (alen > blen))
+            )
+            return (
+                jnp.where(better, cost, bcost),
+                jnp.where(better, alen, blen),
+                jnp.where(better, i0, b0),
+                jnp.where(better, i_end, bi),
+                jnp.where(better, j + 1, bj),
+            )
+
+        state = (best_cost, best_len, best_i0, best_iend, best_jend)
+
+        # endpoint i == la: at most one band cell this column
+        k_la = jnp.where(i_cell == la[:, None], key, BIGK).min(axis=1)
+        state = consider(state, k_la, k_la < BIGK)
+
+        # endpoint j+1 == lb: best cell of the final column
+        at_end = (j + 1) == lb
+        k_be = key.min(axis=1)
+        state = consider(state, k_be, at_end & (k_be < BIGK))
+
+        best_cost, best_len, best_i0, best_iend, best_jend = state
+        return (Pn, best_cost, best_len, best_i0, best_iend, best_jend)
+
+    # init derives from d0 (zeros_like) so the carry keeps the same
+    # varying-axes type as the inputs under shard_map
+    zero = jnp.zeros_like(d0, dtype=jnp.int32)
+    init = (P0, zero + BIG, zero - 1, zero, zero, zero)
+    out = jax.lax.fori_loop(0, J, body, init)
+    _, bcost, _, bi0, bie, bje = out
+    return bcost, bi0, bie, bje
 
 
 def _get_jit_batch():
@@ -316,96 +318,75 @@ def _make_pallas_extend(band: int, jmax: int, block_b: int = 128, interpret: boo
     def kernel(d0_ref, la_ref, lb_ref, a2_ref, b2_ref, out_ref):
         B = block_b
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
         d0 = d0_ref[0, :]
         la = la_ref[0, :]
         lb = lb_ref[0, :]
+        STEP = jnp.int32(PACK)
 
         i_at_j0 = d0[None, :] + iota_w - half
-        C0 = jnp.where((i_at_j0 >= 0) & (i_at_j0 <= la[None, :]), 0, BIG).astype(
-            jnp.int32
-        )
-        S0 = i_at_j0.astype(jnp.int32)
+        P0 = jnp.where(
+            (i_at_j0 >= 0) & (i_at_j0 <= la[None, :]), iota_w, BIGP
+        ).astype(jnp.int32)
 
-        def prefix_min(pre_c, pre_s):
-            xc = pre_c - iota_w
-            xs = pre_s
+        def prefix_min(pre):
+            x = pre - iota_w * STEP
             shift = 1
             while shift < W:
                 down = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) < shift
-                xc_sh = jnp.where(down, BIG, pltpu.roll(xc, shift=shift, axis=0))
-                xs_sh = jnp.where(down, 0, pltpu.roll(xs, shift=shift, axis=0))
-                take = xc_sh < xc
-                xc = jnp.where(take, xc_sh, xc)
-                xs = jnp.where(take, xs_sh, xs)
+                x_sh = jnp.where(down, BIGP, pltpu.roll(x, shift=shift, axis=0))
+                x = jnp.minimum(x, x_sh)
                 shift *= 2
-            return xc + iota_w, xs
-
-        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+            return x + iota_w * STEP
 
         def step(j, u, ablk, bblk, carry):
-            """One DP column. u is the STATIC offset of j within its 8-block;
-            ablk [W+8, B] / bblk [8, B] are the block-aligned loads (Mosaic
-            requires 8-aligned dynamic sublane slices, so per-column loads are
-            done per 8-block and sliced statically here)."""
-            C, S, best_cost, best_len, best_i0, best_iend, best_jend = carry
-            # rows u..u+W of ablk == a chars for this column (roll is circular
-            # but u+W <= W+8 so no wraparound enters the slice)
+            """One DP column; u is the STATIC offset of j within its 8-block
+            (Mosaic needs 8-aligned dynamic sublane slices, so loads happen
+            per 8-block in `outer` and are sliced statically here).
+
+            Endpoint bookkeeping is two packed running-min registers decoded
+            once after the loop (details in _decode below):
+              best_la : min over columns of  cost<<16 | (s_rel + 2^15 - (j+1))
+                        == lexicographic (cost, -align_len) for i==la hits,
+                        with the hit column carried in best_la_j;
+              best_end: the (single) final-column key
+                        cost<<16 | (W-1 - w + s_rel)<<7 | w.
+            """
+            P, best_la, best_la_j, best_end = carry
             aw = jax.lax.slice_in_dim(
                 pltpu.roll(ablk, shift=(W + 8 - u) % (W + 8), axis=0), 0, W, axis=0
             )
             bc = jnp.min(jnp.where(iota8 == u, bblk, BIG), axis=0, keepdims=True)
-            sub = (aw != bc).astype(jnp.int32)
+            sub = (aw != bc).astype(jnp.int32) * STEP
             i_cell = d0[None, :] + (j + 1) + iota_w - half
 
-            diag_c = C + sub
-            up = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) >= W - 1
+            diag = P + sub
+            top = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) >= W - 1
             # roll by W-1 == circular shift by -1 (pltpu.roll needs shift >= 0)
-            up_c = jnp.where(up, BIG, pltpu.roll(C, shift=W - 1, axis=0)) + 1
-            up_s = jnp.where(up, 0, pltpu.roll(S, shift=W - 1, axis=0))
-            take_up = up_c < diag_c
-            pre_c = jnp.where(take_up, up_c, diag_c)
-            pre_s = jnp.where(take_up, up_s, S)
-            Cn, Sn = prefix_min(pre_c, pre_s)
+            up = jnp.where(top, BIGP, pltpu.roll(P, shift=W - 1, axis=0)) + STEP
+            Pn = prefix_min(jnp.minimum(diag, up))
             valid = (i_cell >= 0) & (i_cell <= la[None, :]) & (j < lb)[None, :]
-            Cn = jnp.where(valid, Cn, BIG)
+            Pn = jnp.minimum(jnp.where(valid, Pn, BIGP), BIGP)
 
-            def consider(state, cost, i0, i_end, mask):
-                bcost, blen, b0, bi, bj = state
-                alen = (i_end - i0) + (j + 1)
-                better = mask & ((cost < bcost) | ((cost == bcost) & (alen > blen)))
-                return (
-                    jnp.where(better, cost, bcost),
-                    jnp.where(better, alen, blen),
-                    jnp.where(better, i0, b0),
-                    jnp.where(better, i_end, bi),
-                    jnp.where(better, j + 1, bj),
-                )
+            # i == la endpoint (at most one band cell): cost<<16 | s_rel
+            k_cell = ((Pn // PACK) << 16) + (Pn % PACK)
+            k_la = jnp.min(
+                jnp.where((i_cell == la[None, :]) & (Pn < BIGP), k_cell, BIGK), axis=0
+            )
+            k_la = jnp.where(k_la < BIGK, k_la + ((1 << 15) - (j + 1)), BIGK)
+            upd = k_la < best_la
+            best_la = jnp.minimum(best_la, k_la)
+            best_la_j = jnp.where(upd, j + 1, best_la_j)
 
-            state = (best_cost, best_len, best_i0, best_iend, best_jend)
-
-            # i == la endpoint: at most one band cell (i_cell strictly
-            # increases with w), so plain masked mins select it (int argmin /
-            # gather do not lower on TPU Mosaic)
-            at_la = i_cell == la[None, :]
-            c_la = jnp.min(jnp.where(at_la, Cn, BIG), axis=0)
-            i0_la = jnp.min(jnp.where(at_la, Sn, BIG), axis=0)
-            state = consider(state, c_la, i0_la, la, c_la < BIG)
-
-            # j+1 == lb endpoint: pick first w attaining the column min
+            # j+1 == lb endpoint: within-column (cost, -alen, w) key
+            k_end_cell = ((Pn // PACK) << 16) + (
+                (W - 1 + (Pn % PACK) - iota_w) << 7
+            ) + iota_w
+            k_end = jnp.min(jnp.where(Pn < BIGP, k_end_cell, BIGK), axis=0)
             at_end = (j + 1) == lb
-            c_be = jnp.min(Cn, axis=0)
-            first_w = jnp.min(
-                jnp.where(Cn == c_be[None, :], iota_w, W), axis=0
-            )
-            sel = iota_w == first_w[None, :]
-            i_be = jnp.min(jnp.where(sel, i_cell, BIG), axis=0)
-            i0_be = jnp.min(jnp.where(sel, Sn, BIG), axis=0)
-            state = consider(
-                state, c_be, i0_be, jnp.minimum(i_be, la), at_end & (c_be < BIG)
-            )
+            best_end = jnp.where(at_end, jnp.minimum(best_end, k_end), best_end)
 
-            best_cost, best_len, best_i0, best_iend, best_jend = state
-            return (Cn, Sn, best_cost, best_len, best_i0, best_iend, best_jend)
+            return (Pn, best_la, best_la_j, best_end)
 
         def outer(t, carry):
             off = pl.multiple_of(t * 8, 8)
@@ -415,17 +396,42 @@ def _make_pallas_extend(band: int, jmax: int, block_b: int = 128, interpret: boo
                 carry = step(t * 8 + u, u, ablk, bblk, carry)
             return carry
 
-        init = (
-            C0,
-            S0,
-            jnp.full((block_b,), BIG, jnp.int32),
-            jnp.full((block_b,), -1, jnp.int32),
-            jnp.zeros((block_b,), jnp.int32),
-            jnp.zeros((block_b,), jnp.int32),
-            jnp.zeros((block_b,), jnp.int32),
-        )
+        zero = jnp.zeros((block_b,), jnp.int32)
+        init = (P0, zero + BIGK, zero, zero + BIGK)
         out = jax.lax.fori_loop(0, jmax // 8, outer, init)
-        _, _, bcost, _, bi0, bie, bje = out
+        _, best_la, best_la_j, best_end = out
+
+        # decode + oracle tie-break (cost, -alen, at_la-first-on-tie)
+        base = d0 - half
+        cost_la = best_la >> 16
+        s_la = (best_la & 0xFFFF) - (1 << 15) + best_la_j
+        i0_la = s_la + base
+        alen_la = la - i0_la + best_la_j
+        has_la = best_la < BIGK
+
+        cost_be = best_end >> 16
+        w_be = best_end & 127
+        mid = (best_end >> 7) & 255
+        s_be = mid - (W - 1) + w_be
+        i0_be = s_be + base
+        ie_be = jnp.minimum(d0 + lb + w_be - half, la)
+        alen_be = ie_be - i0_be + lb
+        has_be = best_end < BIGK
+
+        pick_be = has_be & (
+            (~has_la)
+            | (cost_be < cost_la)
+            | ((cost_be == cost_la) & (alen_be > alen_la))
+        )
+        any_hit = has_la | has_be
+        bcost = jnp.where(any_hit, jnp.where(pick_be, cost_be, cost_la), BIG)
+        bi0 = jnp.where(pick_be, i0_be, i0_la)
+        bie = jnp.where(pick_be, ie_be, la)
+        bje = jnp.where(pick_be, lb, best_la_j)
+        bi0 = jnp.where(any_hit, bi0, 0)
+        bie = jnp.where(any_hit, bie, 0)
+        bje = jnp.where(any_hit, bje, 0)
+
         out_ref[0, :] = bcost
         out_ref[1, :] = bi0
         out_ref[2, :] = bie
