@@ -16,7 +16,12 @@ import numpy as np
 
 from phasm_tpu.alignments import AlignmentTable
 from phasm_tpu.overlap import seeding
-from phasm_tpu.overlap.extend import banded_overlap_batch, banded_overlap_pallas, BIG
+from phasm_tpu.overlap.extend import (
+    BIG,
+    ExtendResult,
+    banded_overlap_batch,
+    banded_overlap_pallas,
+)
 from phasm_tpu.reads import ReadSet
 
 
@@ -26,8 +31,9 @@ class OverlapConfig:
     band: int = 64
     min_overlap: int = 500
     max_diff_rate: float = 0.45  # drop plainly failed extensions
-    pallas_buckets: tuple = (1024, 4096)  # jmax buckets for the TPU kernel
-    max_jmax: int = 32768  # jnp fallback cap for very long overlaps
+    pallas_buckets: tuple = (1024, 4096)  # short-pair buckets
+    seg: int = 4096  # segment size for longer pairs (segmented kernel)
+    max_jmax: int = 131072  # hard cap on overlap length
     backend: str = "auto"  # auto | pallas | jnp
 
 
@@ -41,6 +47,9 @@ def _extend(backend, oriented, lengths, a_oid, b_oid, d0, band, jmax):
     )
 
 
+_MAX_BATCH = 16384  # pairs per device call (amortizes dispatch, bounds HBM)
+
+
 def overlap_reads(reads: ReadSet, cfg: OverlapConfig | None = None) -> AlignmentTable:
     """All-vs-all overlap detection."""
     cfg = cfg or OverlapConfig()
@@ -50,9 +59,13 @@ def overlap_reads(reads: ReadSet, cfg: OverlapConfig | None = None) -> Alignment
 
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
+    from phasm_tpu import metrics
+
     lengths = reads.lengths.astype(np.int32)
-    seeds = seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
-    cands = seeding.match_seeds(seeds, lengths, cfg.seed)
+    with metrics.stage("overlap.seed", reads=reads.n_reads):
+        seeds = seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
+        cands = seeding.match_seeds(seeds, lengths, cfg.seed)
+    metrics.incr("overlap.candidates", len(cands))
     if len(cands) == 0:
         return AlignmentTable.empty()
 
@@ -79,20 +92,44 @@ def overlap_reads(reads: ReadSet, cfg: OverlapConfig | None = None) -> Alignment
     # columns needed: alignment can span to the end of B or A
     need = np.minimum(lb_k, la_k - kd + cfg.band).astype(np.int64) + cfg.band
 
+    from phasm_tpu.overlap.extend import DeviceExtender
+
+    extender = DeviceExtender(oriented, lengths, band=cfg.band)
+
     rows = []
-    buckets = list(cfg.pallas_buckets)  # jnp path buckets identically
-    edges = buckets + [cfg.max_jmax]
+    # bucket edges: the short fixed buckets, then segment multiples up to the
+    # LARGEST actually-needed column count (capped) — avoids burning columns
+    # (and a kernel compile) on lengths no pair needs
+    max_need = int(min(need.max(), cfg.max_jmax)) if need.shape[0] else 0
+    edges = [b for b in cfg.pallas_buckets if b < max_need]
+    k = 2
+    while k * cfg.seg < max_need:
+        if k * cfg.seg > (edges[-1] if edges else 0):
+            edges.append(k * cfg.seg)
+        k *= 2
+    edges.append(((max_need + cfg.seg - 1) // cfg.seg) * cfg.seg if max_need > cfg.pallas_buckets[0] else cfg.pallas_buckets[0])
+    edges = sorted(set(edges))
     prev = 0
     for bi, cap in enumerate(edges):
-        sel = (need > prev) & (need <= cap)
+        sel = (need > prev) & (need <= cap) if bi + 1 < len(edges) else (need > prev)
         prev = cap
         if not np.any(sel):
             continue
-        use_backend = backend if (backend != "pallas" or cap in buckets) else "jnp"
         jmax = cap
-        res = _extend(
-            use_backend, oriented, lengths,
-            ka[sel], kb[sel], kd[sel], cfg.band, jmax,
+        parts = []
+        sel_idx = np.nonzero(sel)[0]
+        with metrics.stage(f"overlap.extend.j{jmax}", pairs=sel_idx.shape[0]):
+            for s0 in range(0, sel_idx.shape[0], _MAX_BATCH):
+                chunk = sel_idx[s0 : s0 + _MAX_BATCH]
+                parts.append(
+                    extender.extend(ka[chunk], kb[chunk], kd[chunk], jmax)
+                )
+        res = ExtendResult(
+            a_start=np.concatenate([p.a_start for p in parts]),
+            a_end=np.concatenate([p.a_end for p in parts]),
+            b_start=np.concatenate([p.b_start for p in parts]),
+            b_end=np.concatenate([p.b_end for p in parts]),
+            diffs=np.concatenate([p.diffs for p in parts]),
         )
         # map back to table convention
         sw = swap[sel]

@@ -466,6 +466,29 @@ def _make_pallas_extend(band: int, jmax: int, block_b: int = 128, interpret: boo
     return run
 
 
+_cache_enabled = False
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compile cache: remote TPU compiles take minutes here,
+    and every (jmax, batch) variant recompiles per process otherwise."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import os
+
+    import jax
+
+    path = os.path.expanduser("~/.cache/phasm_tpu_xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover
+        pass
+
+
 _pallas_cache: dict = {}
 
 
@@ -521,3 +544,316 @@ def banded_overlap_pallas(
         b_end=out[3],
         diffs=out[0],
     )
+
+
+# ---------------------------------------------------------------------------
+# Device-resident extender: reads live in HBM, per-batch transfers are just
+# (a_oid, b_oid, d0) indices; band gathering + kernel run fused in one jit
+# ---------------------------------------------------------------------------
+
+
+class DeviceExtender:
+    """HBM-resident batched extension (the production engine path).
+
+    The oriented read matrix is uploaded once; each extend() call ships only
+    three small index vectors and returns 4 ints per pair.  This is the
+    "alignment batches streamed through HBM" design of the north star —
+    essential here because the axon tunnel makes per-batch host gathers
+    (~8 KB/pair) the bottleneck otherwise.
+    """
+
+    PALLAS_MAX_JMAX = 4096  # VMEM: 2 double-buffered [jmax+W,128] int32 blocks
+
+    def __init__(self, oriented: np.ndarray, lengths: np.ndarray, band: int = 64):
+        import jax
+
+        _enable_compilation_cache()
+        self.band = band
+        # upload as uint8 (4x less tunnel traffic), cast on device per batch
+        self._oriented = jax.device_put(oriented.astype(np.uint8))
+        self._lengths = jax.device_put(lengths.astype(np.int32))
+        self._runs: dict = {}
+        self._use_pallas = jax.default_backend() == "tpu"
+
+    def _get_run(self, jmax: int, block_b: int = 128):
+        key = (jmax, block_b)
+        if key in self._runs:
+            return self._runs[key]
+        import jax
+        import jax.numpy as jnp
+
+        W = self.band
+        if self._use_pallas:
+            seg = min(jmax, self.PALLAS_MAX_JMAX)
+            seg = ((seg + 7) // 8) * 8
+            n_seg = (jmax + seg - 1) // seg
+            kernel_run = _make_pallas_extend_seg(W, seg, n_seg, block_b, False)
+            cols = n_seg * seg
+        else:
+            kernel_run = None
+            cols = jmax
+
+        @jax.jit
+        def run(oriented, lengths, a_oid, b_oid, d0):
+            la = lengths[a_oid >> 1]
+            lb = lengths[b_oid >> 1]
+            a_rows = oriented[a_oid].astype(jnp.int32)
+            b_rows = oriented[b_oid].astype(jnp.int32)
+            Lp = oriented.shape[1]
+
+            if kernel_run is not None:
+                # segmented halo layout: row r of segment s holds
+                # a[d0 + s*seg + r - W/2]  (W-column halo per segment)
+                tt = jnp.arange(n_seg * (seg + W), dtype=jnp.int32)
+                ai = (
+                    d0[:, None]
+                    + (tt // (seg + W))[None, :] * seg
+                    + (tt % (seg + W))[None, :]
+                    - W // 2
+                )
+                a_ok = (ai >= 0) & (ai < la[:, None])
+                a2 = jnp.where(
+                    a_ok,
+                    jnp.take_along_axis(a_rows, jnp.clip(ai, 0, Lp - 1), axis=1),
+                    254,
+                )
+                j = jnp.arange(cols, dtype=jnp.int32)[None, :]
+                b_base = (
+                    b_rows[:, :cols]
+                    if Lp >= cols
+                    else jnp.pad(b_rows, ((0, 0), (0, cols - Lp)))
+                )
+                b2 = jnp.where(j < lb[:, None], b_base, 255)
+                out = kernel_run(d0[None, :], la[None, :], lb[None, :], a2.T, b2.T)
+                return out[0], out[1], out[2], out[3]
+
+            t = jnp.arange(cols + W, dtype=jnp.int32)[None, :]
+            ai = d0[:, None] + t - W // 2
+            a_ok = (ai >= 0) & (ai < la[:, None])
+            a2 = jnp.where(
+                a_ok,
+                jnp.take_along_axis(a_rows, jnp.clip(ai, 0, Lp - 1), axis=1),
+                254,
+            )
+            j = jnp.arange(cols, dtype=jnp.int32)[None, :]
+            b_base = (
+                b_rows[:, :cols]
+                if Lp >= cols
+                else jnp.pad(b_rows, ((0, 0), (0, cols - Lp)))
+            )
+            b2 = jnp.where(j < lb[:, None], b_base, 255)
+            return dp_core(a2, b2, la, lb, d0, W)
+
+        self._runs[key] = run
+        return run
+
+    def extend(
+        self, a_oid: np.ndarray, b_oid: np.ndarray, d0: np.ndarray, jmax: int,
+        block_b: int = 128,
+    ) -> ExtendResult:
+        M = int(a_oid.shape[0])
+        Mp = ((M + block_b - 1) // block_b) * block_b
+        if Mp != M:
+            pad = Mp - M
+            a_oid = np.pad(a_oid, (0, pad))
+            b_oid = np.pad(b_oid, (0, pad))
+            d0 = np.pad(d0, (0, pad))
+        run = self._get_run(jmax, block_b)
+        cost, i0, ie, je = run(
+            self._oriented,
+            self._lengths,
+            np.asarray(a_oid, dtype=np.int32),
+            np.asarray(b_oid, dtype=np.int32),
+            np.asarray(d0, dtype=np.int32),
+        )
+        return ExtendResult(
+            a_start=np.asarray(i0)[:M],
+            a_end=np.asarray(ie)[:M],
+            b_start=np.zeros(M, dtype=np.int32),
+            b_end=np.asarray(je)[:M],
+            diffs=np.asarray(cost)[:M],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Segmented Pallas kernel: unlimited overlap length at kernel speed.
+# Grid = (pair_block, column_segment); the packed band state and endpoint
+# registers persist in VMEM scratch across the (sequential) segment axis —
+# the TPU-native analogue of DALIGNER's tracepoint-segmented alignment
+# (SURVEY.md §6, long-sequence row).
+# ---------------------------------------------------------------------------
+
+
+def _make_pallas_extend_seg(band: int, seg: int, n_seg: int, block_b: int = 128,
+                            interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = band
+    half = W // 2
+    assert seg % 8 == 0
+
+    def kernel(d0_ref, la_ref, lb_ref, a2_ref, b2_ref, out_ref,
+               P_buf, regs_buf):
+        B = block_b
+        s = pl.program_id(1)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+        d0 = d0_ref[0, :]
+        la = la_ref[0, :]
+        lb = lb_ref[0, :]
+        STEP = jnp.int32(PACK)
+
+        @pl.when(s == 0)
+        def _init():
+            i_at_j0 = d0[None, :] + iota_w - half
+            P_buf[:, :] = jnp.where(
+                (i_at_j0 >= 0) & (i_at_j0 <= la[None, :]), iota_w, BIGP
+            ).astype(jnp.int32)
+            # regs rows: 0 = best_la, 1 = best_la_j, 2 = best_end (others pad);
+            # whole-tile I/O only — single-row memref loads crash Mosaic
+            regs_buf[:, :] = jnp.where(iota8 == 1, 0, BIGK).astype(jnp.int32)
+
+        def prefix_min(pre):
+            x = pre - iota_w * STEP
+            shift = 1
+            while shift < W:
+                down = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) < shift
+                x_sh = jnp.where(down, BIGP, pltpu.roll(x, shift=shift, axis=0))
+                x = jnp.minimum(x, x_sh)
+                shift *= 2
+            return x + iota_w * STEP
+
+        def step(j, u, ablk, bblk, carry):
+            P, best_la, best_la_j, best_end = carry
+            aw = jax.lax.slice_in_dim(
+                pltpu.roll(ablk, shift=(W + 8 - u) % (W + 8), axis=0), 0, W, axis=0
+            )
+            bc = jnp.min(jnp.where(iota8 == u, bblk, BIG), axis=0, keepdims=True)
+            sub = (aw != bc).astype(jnp.int32) * STEP
+            i_cell = d0[None, :] + (j + 1) + iota_w - half
+
+            diag = P + sub
+            top = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) >= W - 1
+            up = jnp.where(top, BIGP, pltpu.roll(P, shift=W - 1, axis=0)) + STEP
+            Pn = prefix_min(jnp.minimum(diag, up))
+            valid = (i_cell >= 0) & (i_cell <= la[None, :]) & (j < lb)[None, :]
+            Pn = jnp.minimum(jnp.where(valid, Pn, BIGP), BIGP)
+
+            k_cell = ((Pn // PACK) << 16) + (Pn % PACK)
+            k_la = jnp.min(
+                jnp.where((i_cell == la[None, :]) & (Pn < BIGP), k_cell, BIGK),
+                axis=0, keepdims=True,
+            )
+            k_la = jnp.where(k_la < BIGK, k_la + ((1 << 15) - (j + 1)), BIGK)
+            upd = k_la < best_la
+            best_la = jnp.minimum(best_la, k_la)
+            best_la_j = jnp.where(upd, j + 1, best_la_j)
+
+            k_end_cell = ((Pn // PACK) << 16) + (
+                (W - 1 + (Pn % PACK) - iota_w) << 7
+            ) + iota_w
+            k_end = jnp.min(
+                jnp.where(Pn < BIGP, k_end_cell, BIGK), axis=0, keepdims=True
+            )
+            at_end = ((j + 1) == lb)[None, :]
+            best_end = jnp.where(at_end, jnp.minimum(best_end, k_end), best_end)
+            return (Pn, best_la, best_la_j, best_end)
+
+        def outer(t, carry):
+            off = pl.multiple_of(t * 8, 8)
+            ablk = a2_ref[pl.ds(off, W + 8), :]
+            bblk = b2_ref[pl.ds(off, 8), :]
+            j0 = s * seg + t * 8
+            for u in range(8):
+                carry = step(j0 + u, u, ablk, bblk, carry)
+            return carry
+
+        regs = regs_buf[:, :]
+        carry0 = (
+            P_buf[:, :],
+            jax.lax.slice_in_dim(regs, 0, 1, axis=0),
+            jax.lax.slice_in_dim(regs, 1, 2, axis=0),
+            jax.lax.slice_in_dim(regs, 2, 3, axis=0),
+        )
+        P, best_la, best_la_j, best_end = jax.lax.fori_loop(
+            0, seg // 8, outer, carry0
+        )
+        P_buf[:, :] = P
+        regs_buf[:, :] = jnp.concatenate(
+            [best_la, best_la_j, best_end, jnp.zeros((5, B), jnp.int32)], axis=0
+        )
+
+        @pl.when(s == n_seg - 1)
+        def _finish():
+            base2 = (d0 - half)[None, :]
+            la2 = la[None, :]
+            lb2 = lb[None, :]
+            d02 = d0[None, :]
+            cost_la = best_la >> 16
+            s_la = (best_la & 0xFFFF) - (1 << 15) + best_la_j
+            i0_la = s_la + base2
+            alen_la = la2 - i0_la + best_la_j
+            has_la = best_la < BIGK
+
+            cost_be = best_end >> 16
+            w_be = best_end & 127
+            mid = (best_end >> 7) & 255
+            s_be = mid - (W - 1) + w_be
+            i0_be = s_be + base2
+            ie_be = jnp.minimum(d02 + lb2 + w_be - half, la2)
+            alen_be = ie_be - i0_be + lb2
+            has_be = best_end < BIGK
+
+            pick_be = has_be & (
+                (~has_la)
+                | (cost_be < cost_la)
+                | ((cost_be == cost_la) & (alen_be > alen_la))
+            )
+            any_hit = has_la | has_be
+            res = jnp.concatenate(
+                [
+                    jnp.where(any_hit, jnp.where(pick_be, cost_be, cost_la), BIG),
+                    jnp.where(any_hit, jnp.where(pick_be, i0_be, i0_la), 0),
+                    jnp.where(any_hit, jnp.where(pick_be, ie_be, la2), 0),
+                    jnp.where(any_hit, jnp.where(pick_be, lb2, best_la_j), 0),
+                ],
+                axis=0,
+            )
+            out_ref[:, :] = res
+
+    @jax.jit
+    def run(d0, la, lb, a2T, b2T):
+        M = d0.shape[1]
+        grid = (M // block_b, n_seg)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_b), lambda m, s: (0, m), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_b), lambda m, s: (0, m), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_b), lambda m, s: (0, m), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (seg + W, block_b), lambda m, s: (s, m), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((seg, block_b), lambda m, s: (s, m), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (4, block_b), lambda m, s: (0, m), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((4, M), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((W, block_b), jnp.int32),
+                pltpu.VMEM((8, block_b), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=8 * M * n_seg * seg * W,
+                bytes_accessed=M * n_seg * (2 * seg + W) * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(d0, la, lb, a2T, b2T)
+
+    return run

@@ -82,10 +82,11 @@ def extract_minimizers(
     one window contribute their single global argmin.
     """
     if use_native:
-        from phasm_tpu import native
+        from phasm_tpu import metrics, native
 
         out = native.extract_minimizers_native(codes, lengths, cfg.k, cfg.window)
         if out is not None:
+            metrics.incr("overlap.seed.native_minimizers")
             read_id, pos, canon, orient = out
             return Seeds(
                 read_id=read_id,
@@ -206,13 +207,16 @@ def match_seeds(
     """
     out = None
     if use_native:
-        from phasm_tpu import native
+        from phasm_tpu import metrics, native
 
         out = native.match_seed_pairs_native(
             seeds.read_id, seeds.pos, seeds.canon, seeds.orient,
             lengths, cfg.k, cfg.max_occ,
         )
     if out is not None:
+        from phasm_tpu import metrics
+
+        metrics.incr("overlap.seed.native_pairs")
         a, b, st, diag = out
     else:
         a, b, st, diag = emit_pairs_np(seeds, lengths, cfg)

@@ -73,6 +73,8 @@ def assemble(
     reads: ReadSet, alignments: AlignmentTable, cfg: PipelineConfig | None = None
 ) -> AssemblyResult:
     """Run filter -> layout -> phase on an alignment table."""
+    from phasm_tpu import metrics
+
     cfg = cfg or PipelineConfig()
     stats: dict = {"n_reads": reads.n_reads, "n_alignments": len(alignments)}
 
@@ -87,16 +89,18 @@ def assemble(
         max_overhang_abs=cfg.max_overhang_abs,
         max_overhang_ratio=cfg.max_overhang_ratio,
     )
-    ft, types, contained = chain.apply(alignments, reads.lengths)
+    with metrics.stage("pipeline.filter", alignments=len(alignments)):
+        ft, types, contained = chain.apply(alignments, reads.lengths)
     stats["n_proper_overlaps"] = len(ft)
     stats["n_contained_reads"] = int(contained.sum())
 
     # ---- stage 2: layout (ref: phasm layout) ----------------------------
-    g = build_string_graph(ft, types, reads.lengths)
-    stats["edges_initial"] = g.n_edges
-    g = remove_transitive_edges(g, fuzz=cfg.length_fuzz)
-    stats["edges_after_reduction"] = g.n_edges
-    g, removed = remove_tips(g, max_tip_len=cfg.max_tip_len)
+    with metrics.stage("pipeline.layout"):
+        g = build_string_graph(ft, types, reads.lengths)
+        stats["edges_initial"] = g.n_edges
+        g = remove_transitive_edges(g, fuzz=cfg.length_fuzz)
+        stats["edges_after_reduction"] = g.n_edges
+        g, removed = remove_tips(g, max_tip_len=cfg.max_tip_len)
     stats["edges_after_tips"] = g.n_edges
     stats["tip_reads_removed"] = int(removed.sum())
     ug = merge_unambiguous_paths(g)
@@ -112,7 +116,8 @@ def assemble(
         alignments.overlap_length(), 1
     )
     evidence = alignments.take(ev_keep)
-    results = phase_all(ug, reads, evidence, chains, cfg.phase)
+    with metrics.stage("pipeline.phase", chains=len(chains)):
+        results = phase_all(ug, reads, evidence, chains, cfg.phase)
 
     haplotigs = []
     chain_nodes: set[int] = set()

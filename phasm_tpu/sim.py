@@ -78,25 +78,28 @@ def simulate_haplotypes(
 
 
 def mutate_read(rng: np.random.Generator, seq: np.ndarray, error_rate: float) -> np.ndarray:
-    """Apply CLR-style errors: ~50% ins, 30% del, 20% sub of the error budget."""
+    """Apply CLR-style errors: ~50% ins, 30% del, 20% sub of the error budget.
+
+    Fully vectorized (megabase read sets are generated in tests and benches).
+    """
     if error_rate <= 0:
         return seq
     n = seq.shape[0]
     r = rng.random(n)
     p_ins, p_del, p_sub = 0.5 * error_rate, 0.3 * error_rate, 0.2 * error_rate
-    out = []
-    for i in range(n):
-        x = r[i]
-        if x < p_ins:
-            out.append(int(rng.integers(0, 4)))
-            out.append(int(seq[i]))
-        elif x < p_ins + p_del:
-            continue
-        elif x < p_ins + p_del + p_sub:
-            out.append(int((seq[i] + rng.integers(1, 4)) % 4))
-        else:
-            out.append(int(seq[i]))
-    return np.array(out, dtype=np.uint8)
+    ins = r < p_ins
+    dele = (r >= p_ins) & (r < p_ins + p_del)
+    sub = (r >= p_ins + p_del) & (r < p_ins + p_del + p_sub)
+
+    out = seq.copy()
+    out[sub] = (out[sub] + rng.integers(1, 4, int(sub.sum()))) % 4
+    # each position expands to 2 codes (inserted random + original), 1, or 0
+    reps = np.where(ins, 2, np.where(dele, 0, 1))
+    res = np.repeat(out, reps)
+    starts = np.cumsum(reps) - reps  # output offset of each input position
+    ins_pos = starts[ins]
+    res[ins_pos] = rng.integers(0, 4, ins_pos.shape[0])
+    return res.astype(np.uint8)
 
 
 def simulate_reads(

@@ -131,3 +131,56 @@ def test_full_pipeline_from_reads_noisy_haploid():
     res = assemble(rs, t, cfg)
     assert res.stats["n_contigs"] == 1
     assert len(res.contigs[0][1]) > 0.9 * 15_000
+
+
+def test_segmented_kernel_matches_plain_interpret():
+    """Segmented Pallas kernel (interpret) == single-shot DP across segments."""
+    import jax
+    import numpy as np
+    from phasm_tpu.overlap.extend import (
+        _make_pallas_extend_seg,
+        banded_overlap_batch,
+        prepare_pair_tensors,
+    )
+
+    rng = np.random.default_rng(3)
+    la = lb = 300
+    W, SEG, NSEG = 16, 128, 3  # 384 columns over 3 segments
+    oriented = np.zeros((4, 512), dtype=np.uint8)
+    g = rng.integers(0, 4, 500).astype(np.uint8)
+    oriented[0, :la] = g[:la]
+    b = g[100 : 100 + lb].copy()
+    noise = rng.random(lb) < 0.05
+    b = np.where(noise, (b + rng.integers(1, 4, lb)) % 4, b).astype(np.uint8)
+    oriented[2, :lb] = b
+    lengths = np.array([la, lb], dtype=np.int32)
+    a_oid = np.zeros(128, dtype=np.int64)
+    b_oid = np.full(128, 2, dtype=np.int64)
+    d0 = np.full(128, 100, dtype=np.int32)
+
+    want = banded_overlap_batch(
+        oriented, lengths, a_oid, b_oid, d0, band=W, jmax=SEG * NSEG
+    )
+
+    a2, b2, laa, lbb = prepare_pair_tensors(
+        oriented, lengths, a_oid, b_oid, d0, W, SEG * NSEG
+    )
+    # build segmented halo layout on host (mirrors DeviceExtender)
+    M = 128
+    tt = np.arange(NSEG * (SEG + W))
+    ai = d0[:, None] + (tt // (SEG + W))[None, :] * SEG + (tt % (SEG + W))[None, :] - W // 2
+    a_rows = oriented[a_oid]
+    a_ok = (ai >= 0) & (ai < laa[:, None])
+    a2s = np.where(a_ok, a_rows[np.arange(M)[:, None], np.clip(ai, 0, 511)], 254)
+    run = _make_pallas_extend_seg(W, SEG, NSEG, 128, interpret=True)
+    out = np.asarray(
+        run(
+            d0.astype(np.int32)[None, :], laa[None, :], lbb[None, :],
+            np.ascontiguousarray(a2s.T).astype(np.int32),
+            np.ascontiguousarray(b2.T).astype(np.int32),
+        )
+    )
+    assert np.array_equal(out[0], want.diffs)
+    assert np.array_equal(out[1], want.a_start)
+    assert np.array_equal(out[2], want.a_end)
+    assert np.array_equal(out[3], want.b_end)
