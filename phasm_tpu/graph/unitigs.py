@@ -68,11 +68,16 @@ class UnitigGraph:
         total = int(self.length[u])
         out = np.zeros(total, dtype=np.uint8)
         # later members overwrite overlapping prefixes; write in order so the
-        # most recent (rightmost) read wins in overlap regions
+        # most recent (rightmost) read wins in overlap regions.  Offsets are
+        # clamped: noisy-indel coordinate drift can push a member start a few
+        # bases negative (see chain_layout).
         for oid, off in zip(mem.tolist(), offs.tolist()):
             s = reads.oriented_seq(int(oid))
-            end = min(int(off) + s.shape[0], total)
-            out[int(off) : end] = s[: end - int(off)]
+            off = max(int(off), 0)
+            end = min(off + s.shape[0], total)
+            if end <= off:
+                continue
+            out[off:end] = s[: end - off]
         return out
 
     def spell_path(self, path: list[int], path_elens: list[int], reads: ReadSet) -> np.ndarray:
@@ -145,12 +150,16 @@ def merge_unambiguous_paths(g: StringGraph) -> UnitigGraph:
     unitig_of_chain = np.full(len(chains), -1, dtype=np.int64)
 
     def chain_layout(ch: list[int]):
+        # offs[i] = spelled start of member i = total_before - (len_i - elen_i).
+        # With noisy alignments the aligned span of a long member can slightly
+        # exceed the accumulated length (indel drift), which would make the
+        # offset negative; clamp to 0 (error-free data is unaffected).
         offs = np.zeros(len(ch), dtype=np.int64)
         total = int(g.node_len[ch[0]])
         for i in range(1, len(ch)):
             el = int(succ_elen[ch[i - 1]])
-            offs[i] = total - (int(g.node_len[ch[i]]) - el)
-            total += el
+            offs[i] = max(total - (int(g.node_len[ch[i]]) - el), 0)
+            total = max(total + el, offs[i] + int(g.node_len[ch[i]]))
         return offs, total
 
     for ci, ch in enumerate(chains):

@@ -480,6 +480,10 @@ def _enable_compilation_cache():
 
     import jax
 
+    if jax.default_backend() != "tpu":
+        # CPU AOT artifacts are machine-feature-sensitive (risk of SIGILL on
+        # reload); only the minutes-long remote TPU compiles are worth caching
+        return
     path = os.path.expanduser("~/.cache/phasm_tpu_xla")
     try:
         os.makedirs(path, exist_ok=True)

@@ -64,6 +64,7 @@ class PhaseConfig:
 class ChainPhaseResult:
     chain: BubbleChain
     haplotype_paths: list[list[int]]  # k walks (unitig ids incl. anchors)
+    haplotype_choices: list[tuple[int, ...]]  # k tuples of per-bubble path idx
     haplotigs: list[np.ndarray]  # k spelled base-code arrays
     score: float
     n_candidates_final: int
@@ -397,6 +398,7 @@ def phase_chain(
     return ChainPhaseResult(
         chain=chain,
         haplotype_paths=hap_paths,
+        haplotype_choices=list(best_hist),
         haplotigs=haplotigs,
         score=float(scores[best_i]),
         n_candidates_final=len(candidates),

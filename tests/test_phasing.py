@@ -288,3 +288,93 @@ def test_pipeline_assemble_haploid_contig(tmp_path):
     rs2 = fasta.read_fasta(out)
     assert rs2.n_reads == 1
     assert rs2.lengths[0] > 13_000
+
+
+def test_noisy_diploid_full_production_path():
+    """Noisy diploid through the REAL pipeline (engine included): must build
+    a bubble-chain assembly with two genome-spanning haplotigs,
+    deterministically.  (Haplotype separation quality at 4% read error is a
+    known round-2 target — see ARCHITECTURE.md; this pins structure.)"""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.pipeline import PipelineConfig, assemble
+    from phasm_tpu.sim import simulate_reads
+
+    rs, truth = simulate_reads(
+        seed=2, genome_len=60_000, ploidy=2, coverage=18, mean_read_len=5000,
+        error_rate=0.04, indel_rate=0.0, snv_rate=0.0,
+        hotspots=4, hotspot_rate=0.10, hotspot_width=2000, read_len_spread=0.2,
+    )
+    t = overlap_reads(rs, OverlapConfig(min_overlap=800, backend="jnp"))
+    cfg = PipelineConfig(
+        min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
+        evidence_max_error=0.5,
+    )
+    res = assemble(rs, t, cfg)
+    assert res.stats["n_chains"] >= 1
+    assert res.stats["n_haplotigs"] >= 2
+    total_len = sum(len(s) for _, s in res.haplotigs[:2])
+    assert total_len > 1.5 * 60_000  # both haplotigs roughly genome-spanning
+
+    res2 = assemble(rs, t, cfg)
+    assert [(n, s.tobytes()) for n, s in res.haplotigs] == [
+        (n, s.tobytes()) for n, s in res2.haplotigs
+    ]
+
+
+def test_ploidy3_error_free_end_to_end():
+    """Triploid spaced-hotspot sim (config-5 analogue, error-free): 3
+    haplotigs, arms fully split at every bubble."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from phasm_tpu import dna
+    from phasm_tpu.filter import (
+        FilterChain, MaxErrorRate, MinOverlapLength, ProperOverlapsOnly,
+    )
+    from phasm_tpu.graph import (
+        build_string_graph, merge_unambiguous_paths, remove_tips,
+        remove_transitive_edges,
+    )
+    from phasm_tpu.sim import simulate_reads, truth_alignments
+
+    rs, truth = simulate_reads(
+        seed=4, genome_len=40_000, ploidy=3, coverage=14, mean_read_len=5000,
+        error_rate=0.0, indel_rate=0.0, snv_rate=0.0,
+        hotspots=2, hotspot_rate=0.08, hotspot_width=2000, read_len_spread=0.2,
+    )
+    t = truth_alignments(rs, truth, min_overlap=800, cross_hap=True)
+    fc = FilterChain([MinOverlapLength(800), MaxErrorRate(0.005), ProperOverlapsOnly()])
+    ft, types, cont = fc.apply(t, rs.lengths)
+    g = build_string_graph(ft, types, rs.lengths)
+    g = remove_transitive_edges(g, fuzz=200)
+    g, _ = remove_tips(g, max_tip_len=4)
+    ug = merge_unambiguous_paths(g)
+    chains = build_chains(ug, find_superbubbles(ug))
+    assert chains, "triploid fixture must produce a bubble chain"
+    ev = t.take(t.diffs <= 0.02 * np.maximum(t.overlap_length(), 1))
+    res = phase_all(ug, rs, ev, chains, PhaseConfig(ploidy=3))[0]
+    assert len(res.haplotigs) == 3
+    # arms fully split at each bubble (per-bubble path choices all distinct)
+    n_b = len(res.chain.bubbles)
+    for bi in range(n_b):
+        choices = {res.haplotype_choices[m][bi] for m in range(3)}
+        assert len(choices) == 3, f"bubble {bi} not fully split: {choices}"
+    # each haplotig matches one truth haplotype at high identity
+    matched = set()
+    for h in res.haplotigs:
+        best = None
+        for gi, gseq in enumerate(truth.haplotypes):
+            for gg in (gseq, dna.revcomp(gseq)):
+                off = dna.decode(gg).find(dna.decode(h[:400]))
+                if off >= 0:
+                    L = min(h.shape[0], gg.shape[0] - off)
+                    mism = int((h[:L] != gg[off : off + L]).sum())
+                    if best is None or mism < best[1]:
+                        best = (gi, mism, L)
+        assert best is not None
+        assert best[1] / best[2] < 0.01, f"identity too low: {best}"
+        matched.add(best[0])
+    assert matched == {0, 1, 2}, f"haplotigs collapse onto {matched}"
