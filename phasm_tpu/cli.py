@@ -153,6 +153,14 @@ def cmd_phase(args):
             recs.append((f"haplotig_c{ci}_h{m}", dna.decode(seq)))
     fasta.write_fasta(args.out, recs)
     log.info("wrote %d haplotigs -> %s", len(recs), args.out)
+    if args.read_assignment:
+        with open(args.read_assignment, "w") as fh:
+            fh.write("read\tchain\thaplotypes\n")
+            for ci, r in enumerate(results):
+                for rd, haps in sorted(r.read_assignment.items()):
+                    hs = ",".join(str(h) for h in haps) if haps else "-"
+                    fh.write(f"{rs.names[rd]}\t{ci}\t{hs}\n")
+        log.info("wrote read assignment -> %s", args.read_assignment)
 
 
 def cmd_pipeline(args):
@@ -228,6 +236,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", required=True)
     s.add_argument("--ploidy", type=int, default=2)
     s.add_argument("--prune-factor", type=float, default=0.01)
+    s.add_argument("--read-assignment", default=None,
+                   help="optional TSV of read -> haplotype assignment")
     s.set_defaults(fn=cmd_phase)
 
     s = sub.add_parser("pipeline", help="overlap -> filter -> layout -> phase")

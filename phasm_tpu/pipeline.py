@@ -68,6 +68,19 @@ class AssemblyResult:
         recs = [(n, dna.decode(s)) for n, s in self.haplotigs + self.contigs]
         fasta.write_fasta(path, recs)
 
+    def write_read_assignment(self, path: str, read_names: list[str]) -> None:
+        """TSV: read name -> chain id, consistent haplotype ids.
+
+        Ref: phasm/phasing.py emits which reads were assigned to which
+        haplotig (SURVEY.md §3.1 phasing row: 'which reads were assigned').
+        """
+        with open(path, "w") as fh:
+            fh.write("read\tchain\thaplotypes\n")
+            for ci, r in enumerate(self.phase_results):
+                for rd, haps in sorted(r.read_assignment.items()):
+                    hs = ",".join(str(h) for h in haps) if haps else "-"
+                    fh.write(f"{read_names[rd]}\t{ci}\t{hs}\n")
+
 
 def assemble(
     reads: ReadSet, alignments: AlignmentTable, cfg: PipelineConfig | None = None
