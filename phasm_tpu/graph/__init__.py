@@ -11,4 +11,5 @@ from phasm_tpu.graph.structure import StringGraph  # noqa: F401
 from phasm_tpu.graph.build import build_string_graph  # noqa: F401
 from phasm_tpu.graph.transitive import remove_transitive_edges  # noqa: F401
 from phasm_tpu.graph.tips import remove_tips  # noqa: F401
+from phasm_tpu.graph.pop import pop_error_bubbles  # noqa: F401
 from phasm_tpu.graph.unitigs import UnitigGraph, merge_unambiguous_paths  # noqa: F401

@@ -1,0 +1,128 @@
+"""Error-bubble popping on the string graph.
+
+North-star graph cleaning is "transitive-reduction, tip/bubble
+simplification" (BASELINE.json); the reference keeps heterozygous bubbles
+(they carry phasing signal) but sequencing-error artifacts also appear as
+bubbles whose weak arm has near-zero read support.  This pass pops only
+those:
+
+  a superbubble arm is popped when its read support is <= max_weak_reads
+  AND the strongest sibling arm has >= dominance x that support.
+
+Heterozygous arms have balanced coverage (support ratio ~1) and are never
+touched; haploid error bubbles (1-2 reads vs full depth) are. Removal
+deletes the weak arm's reads (both orientations), like tip clipping;
+iterate with tip removal to a fixpoint before unitig merging.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from phasm_tpu.graph.structure import StringGraph
+
+
+def _adj(g: StringGraph):
+    succ: dict[int, list[int]] = {}
+    pred: dict[int, list[int]] = {}
+    for s, d in zip(g.src.tolist(), g.dst.tolist()):
+        succ.setdefault(int(s), []).append(int(d))
+        pred.setdefault(int(d), []).append(int(s))
+    return succ, pred
+
+
+def _arm_paths(succ, interior, s, t, cap=16):
+    """Simple s->t paths through interior (node-id lists, excl. anchors)."""
+    out = []
+    stack = [(s, ())]
+    while stack and len(out) < cap:
+        v, path = stack.pop()
+        for c in sorted(succ.get(v, []), reverse=True):
+            if c == t:
+                out.append(path)
+            elif c in interior and c not in path:
+                stack.append((c, path + (c,)))
+    return sorted(out)
+
+
+def pop_error_bubbles(
+    g: StringGraph,
+    max_weak_reads: int = 2,
+    dominance: float = 5.0,
+    max_rounds: int = 8,
+    aln=None,
+    pop_err: float | None = None,
+) -> tuple[StringGraph, np.ndarray]:
+    """Iteratively pop spurious bubble arms.  Two rules:
+
+    1. support: weak arm has <= max_weak_reads reads AND the strongest arm
+       has >= dominance x that (error bubbles in deep haploid regions);
+    2. similarity (when `aln`+`pop_err` given): two arms whose reads align
+       to EACH OTHER below `pop_err` divergence are the same locus split by
+       the error-rate filter threshold ("threshold-fragmentation" bubbles);
+       the weaker arm is popped.  Heterozygous arms only align at
+       hotspot-level divergence, so a pop_err just above the read-error
+       band leaves them alone.
+
+    Returns (graph, removed_reads_mask).
+    """
+    from phasm_tpu.bubbles import superbubble_from  # deferred: avoids cycle
+
+    # read-pair -> min alignment error (for the similarity rule)
+    pair_err: dict[tuple[int, int], float] = {}
+    if aln is not None and pop_err is not None and len(aln):
+        errs = aln.diffs / np.maximum(aln.overlap_length(), 1)
+        for a, b, e in zip(aln.a_id.tolist(), aln.b_id.tolist(), errs.tolist()):
+            k = (a, b) if a < b else (b, a)
+            if e < pair_err.get(k, np.inf):
+                pair_err[k] = e
+
+    def arms_same_locus(reads1: set[int], reads2: set[int]) -> bool:
+        if not pair_err:
+            return False
+        for r1 in reads1:
+            for r2 in reads2:
+                k = (r1, r2) if r1 < r2 else (r2, r1)
+                if pair_err.get(k, np.inf) <= pop_err:
+                    return True
+        return False
+
+    removed = np.zeros(g.n_nodes // 2, dtype=bool)
+    for _ in range(max_rounds):
+        succ, pred = _adj(g)
+        dead_reads: set[int] = set()
+        for s in sorted(succ):
+            if len(succ.get(s, [])) < 2:
+                continue
+            b = superbubble_from(succ, pred, s)
+            if b is None or not b.interior:
+                continue
+            paths = _arm_paths(succ, b.interior, b.entrance, b.exit)
+            if len(paths) < 2:
+                continue
+            arm_reads = [{n >> 1 for n in p} for p in paths]
+            supports = [len(rr) for rr in arm_reads]
+            strongest = max(supports)
+            for pi, (p, sup) in enumerate(zip(paths, supports)):
+                if not p:
+                    continue  # direct edge: nothing to remove
+                if sup <= max_weak_reads and strongest >= dominance * sup:
+                    dead_reads.update(n >> 1 for n in p)
+                    continue
+                # similarity rule: weaker arm vs any stronger same-locus arm
+                for pj in range(len(paths)):
+                    if pj == pi or not paths[pj]:
+                        continue
+                    stronger = (supports[pj], -min(arm_reads[pj], default=0)) > (
+                        sup, -min(arm_reads[pi], default=0)
+                    )
+                    if stronger and arms_same_locus(arm_reads[pi], arm_reads[pj]):
+                        dead_reads.update(n >> 1 for n in p)
+                        break
+        if not dead_reads:
+            break
+        mask = np.zeros(g.n_nodes // 2, dtype=bool)
+        mask[sorted(dead_reads)] = True
+        removed |= mask
+        keep = ~(mask[g.src >> 1] | mask[g.dst >> 1])
+        g = g.take_edges(keep)
+    return g, removed

@@ -26,6 +26,7 @@ from phasm_tpu.filter import (
 from phasm_tpu.graph import (
     build_string_graph,
     merge_unambiguous_paths,
+    pop_error_bubbles,
     remove_tips,
     remove_transitive_edges,
 )
@@ -47,6 +48,9 @@ class PipelineConfig:
     # stage 2 (layout)
     length_fuzz: int = 1000
     max_tip_len: int = 4
+    pop_bubbles: bool = True  # pop error bubbles (weak arm <= N reads)
+    pop_max_weak_reads: int = 2
+    pop_dominance: float = 5.0
     # stage 3 (phase)
     phase: PhaseConfig = dataclasses.field(default_factory=PhaseConfig)
     # evidence: keep alignments below this error for phasing support
@@ -114,6 +118,15 @@ def assemble(
         g = remove_transitive_edges(g, fuzz=cfg.length_fuzz)
         stats["edges_after_reduction"] = g.n_edges
         g, removed = remove_tips(g, max_tip_len=cfg.max_tip_len)
+        if cfg.pop_bubbles:
+            g, popped = pop_error_bubbles(
+                g, max_weak_reads=cfg.pop_max_weak_reads,
+                dominance=cfg.pop_dominance,
+                aln=alignments, pop_err=cfg.max_error_rate * 1.2,
+            )
+            g, removed2 = remove_tips(g, max_tip_len=cfg.max_tip_len)
+            stats["bubble_reads_popped"] = int(popped.sum())
+            removed = removed | popped | removed2
     stats["edges_after_tips"] = g.n_edges
     stats["tip_reads_removed"] = int(removed.sum())
     ug = merge_unambiguous_paths(g)

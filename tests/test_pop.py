@@ -1,0 +1,86 @@
+"""Error-bubble popping tests: weak arms pop, het (balanced) arms survive."""
+import numpy as np
+
+from phasm_tpu.graph import StringGraph, pop_error_bubbles
+
+
+def graph_from(edges, n_reads):
+    src = np.array([e[0] for e in edges], dtype=np.int32)
+    dst = np.array([e[1] for e in edges], dtype=np.int32)
+    g = StringGraph(
+        2 * n_reads, src, dst,
+        np.full(src.shape[0], 10, dtype=np.int32),
+        np.full(src.shape[0], 100, dtype=np.int32),
+        np.full(2 * n_reads, 1000, dtype=np.int32),
+    )
+    return g.canonicalize()
+
+
+def chain(nodes):
+    return [(nodes[i], nodes[i + 1]) for i in range(len(nodes) - 1)]
+
+
+def test_weak_arm_popped():
+    # entrance 0, strong arm reads 1..5 (nodes 2..10), weak arm read 6
+    # (node 12), exit 14
+    strong = chain([0] + [2 * r for r in range(1, 6)] + [14])
+    weak = [(0, 12), (12, 14)]
+    g = graph_from(strong + weak, n_reads=8)
+    g2, removed = pop_error_bubbles(g)
+    assert sorted(np.nonzero(removed)[0].tolist()) == [6]
+    assert (0, 12) not in g2.to_edge_set()
+    assert set(strong) <= g2.to_edge_set()
+
+
+def test_balanced_het_bubble_kept():
+    # two arms with 3 reads each: balanced -> heterozygous, must survive
+    armA = chain([0, 2, 4, 6, 16])
+    armB = chain([0, 8, 10, 12, 16])
+    g = graph_from(armA + armB, n_reads=9)
+    g2, removed = pop_error_bubbles(g)
+    assert not removed.any()
+    assert g2.n_edges == g.n_edges
+
+
+def test_dominance_threshold():
+    # weak arm 1 read vs strong arm 4 reads: 4 < 5*1 -> kept (could be het)
+    strong = chain([0] + [2 * r for r in range(1, 5)] + [12])
+    weak = [(0, 14), (14, 12)]
+    g = graph_from(strong + weak, n_reads=8)
+    g2, removed = pop_error_bubbles(g, dominance=5.0)
+    assert not removed.any()
+    # stronger dominance setting pops it
+    g3, removed3 = pop_error_bubbles(g, dominance=3.0)
+    assert sorted(np.nonzero(removed3)[0].tolist()) == [7]
+
+
+def test_noisy_haploid_bubbles_disappear():
+    """6%-error haploid: popping collapses error bubbles (the c3 artifact)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from phasm_tpu.bubbles import find_superbubbles
+    from phasm_tpu.graph import (
+        build_string_graph, merge_unambiguous_paths, remove_tips,
+        remove_transitive_edges,
+    )
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.sim import simulate_reads
+
+    rs, truth = simulate_reads(
+        seed=9, genome_len=25_000, ploidy=1, coverage=18, mean_read_len=4000,
+        error_rate=0.06, read_len_spread=0.25,
+    )
+    t = overlap_reads(rs, OverlapConfig(min_overlap=700, backend="jnp"))
+    types = t.classify(rs.lengths)
+    keep = (t.diffs <= 0.16 * np.maximum(t.overlap_length(), 1))
+    g = build_string_graph(t.take(keep), types[keep], rs.lengths)
+    g = remove_transitive_edges(g, fuzz=700)
+    g, _ = remove_tips(g, max_tip_len=4)
+
+    before = len(find_superbubbles(merge_unambiguous_paths(g)))
+    g2, popped = pop_error_bubbles(g, aln=t, pop_err=0.16 * 1.2)
+    g2, _ = remove_tips(g2, max_tip_len=4)
+    after = len(find_superbubbles(merge_unambiguous_paths(g2)))
+    assert before > 0
+    assert after < before, (before, after)
