@@ -38,6 +38,7 @@ def ladder() -> list[LadderConfig]:
             pipeline=PipelineConfig(
                 min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
                 evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
+                adaptive_error=True,
             ),
         ),
         LadderConfig(
@@ -54,6 +55,7 @@ def ladder() -> list[LadderConfig]:
                 min_read_length=500, min_overlap_length=500,
                 max_error_rate=0.10, length_fuzz=300,
                 evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
+                adaptive_error=True,
             ),
         ),
         LadderConfig(
@@ -81,6 +83,7 @@ def ladder() -> list[LadderConfig]:
             pipeline=PipelineConfig(
                 min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
                 evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
+                adaptive_error=True,
             ),
         ),
         LadderConfig(
@@ -96,6 +99,7 @@ def ladder() -> list[LadderConfig]:
             pipeline=PipelineConfig(
                 min_overlap_length=800, max_error_rate=0.10, length_fuzz=400,
                 evidence_max_error=0.5, phase=PhaseConfig(ploidy=3),
+                adaptive_error=True,
             ),
         ),
     ]

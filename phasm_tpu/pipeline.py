@@ -17,6 +17,7 @@ from phasm_tpu import dna
 from phasm_tpu.alignments import AlignmentTable
 from phasm_tpu.bubbles import BubbleChain, build_chains, find_superbubbles
 from phasm_tpu.filter import (
+    AdaptiveErrorRate,
     FilterChain,
     MaxErrorRate,
     MinOverlapLength,
@@ -43,6 +44,9 @@ class PipelineConfig:
     min_read_length: int = 1000
     min_overlap_length: int = 800
     max_error_rate: float = 0.25  # vs overlap length; tune to read error
+    adaptive_error: bool = False  # per-pair adaptive divergence filter
+    adaptive_factor: float = 1.25
+    adaptive_margin: float = 0.01
     max_overhang_abs: int = 1000
     max_overhang_ratio: float = 0.8
     # stage 2 (layout)
@@ -96,13 +100,16 @@ def assemble(
     stats: dict = {"n_reads": reads.n_reads, "n_alignments": len(alignments)}
 
     # ---- stage 1: filter (ref: phasm filter) ----------------------------
+    filters = [
+        MinReadLength(cfg.min_read_length),
+        MinOverlapLength(cfg.min_overlap_length),
+        MaxErrorRate(cfg.max_error_rate),
+        ProperOverlapsOnly(),
+    ]
+    if cfg.adaptive_error:
+        filters.insert(2, AdaptiveErrorRate(cfg.adaptive_factor, cfg.adaptive_margin))
     chain = FilterChain(
-        [
-            MinReadLength(cfg.min_read_length),
-            MinOverlapLength(cfg.min_overlap_length),
-            MaxErrorRate(cfg.max_error_rate),
-            ProperOverlapsOnly(),
-        ],
+        filters,
         max_overhang_abs=cfg.max_overhang_abs,
         max_overhang_ratio=cfg.max_overhang_ratio,
     )

@@ -84,3 +84,62 @@ def test_noisy_haploid_bubbles_disappear():
     after = len(find_superbubbles(merge_unambiguous_paths(g2)))
     assert before > 0
     assert after < before, (before, after)
+
+
+def test_adaptive_filter_improves_allele_purity():
+    """Adaptive per-pair error filter: diploid haplotig allele purity must
+    beat the global-threshold baseline (the round-1 purity booster)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from phasm_tpu import dna
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.phasing import PhaseConfig
+    from phasm_tpu.pipeline import PipelineConfig, assemble
+    from phasm_tpu.sim import simulate_reads
+
+    rs, truth = simulate_reads(
+        seed=2, genome_len=60_000, ploidy=2, coverage=18, mean_read_len=5000,
+        error_rate=0.04, indel_rate=0.0, snv_rate=0.0,
+        hotspots=4, hotspot_rate=0.10, hotspot_width=2000, read_len_spread=0.2,
+    )
+    t = overlap_reads(rs, OverlapConfig(min_overlap=800, backend="jnp"))
+
+    def purity(res):
+        h0g, h1g = truth.haplotypes
+        diff_sites = np.nonzero(h0g != h1g)[0]
+        ps = []
+        for name, h in res.haplotigs:
+            hs = dna.decode(h)
+            votes = {0: 0, 1: 0}
+            for site in diff_sites[::5]:
+                lo = max(int(site) - 8, 0)
+                p0 = dna.decode(h0g[lo : lo + 17])
+                p1 = dna.decode(h1g[lo : lo + 17])
+                rc0 = dna.decode(dna.revcomp(h0g[lo : lo + 17]))
+                rc1 = dna.decode(dna.revcomp(h1g[lo : lo + 17]))
+                in0 = (p0 in hs) or (rc0 in hs)
+                in1 = (p1 in hs) or (rc1 in hs)
+                if in0 and not in1:
+                    votes[0] += 1
+                elif in1 and not in0:
+                    votes[1] += 1
+            tot = votes[0] + votes[1]
+            if tot >= 10:
+                ps.append(max(votes.values()) / tot)
+        return ps
+
+    base_cfg = PipelineConfig(
+        min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
+        evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
+    )
+    adaptive_cfg = PipelineConfig(
+        min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
+        evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
+        adaptive_error=True,
+    )
+    p_base = purity(assemble(rs, t, base_cfg))
+    p_adapt = purity(assemble(rs, t, adaptive_cfg))
+    assert p_adapt, "adaptive run produced no measurable haplotigs"
+    assert np.mean(p_adapt) > np.mean(p_base) + 0.05, (p_base, p_adapt)
+    assert np.mean(p_adapt) >= 0.7, p_adapt
