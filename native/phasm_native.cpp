@@ -166,3 +166,168 @@ int64_t match_seed_pairs(const int32_t* read_id, const int32_t* pos,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Consensus polishing (racon-lite): banded read-vs-draft alignment with
+// traceback + per-position base/deletion/insertion voting.  Improves
+// haplotig base identity from raw-read level (~1-2x read error) to the
+// pileup consensus.  No counterpart in the reference (it emits raw read
+// spellings); this is a "beat the reference" quality pass.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Cell {
+  int32_t cost;
+  int8_t move;  // 0 diag, 1 up (read gap / draft del), 2 left (read ins)
+};
+
+}  // namespace
+
+extern "C" {
+
+// Align one read to draft[w0..w1) with band around the main diagonal and
+// accumulate votes.  votes layout: [draft_len][5] (A,C,G,T,del);
+// ins_votes: [draft_len+1][4] (insertion before position p).
+// Returns 0 on success, -1 if the band overflowed (read skipped).
+int polish_accumulate(const uint8_t* draft, int64_t draft_len,
+                      const uint8_t* read, int32_t read_len,
+                      int64_t w0, int64_t w1, int32_t band,
+                      int32_t* votes, int32_t* ins_votes) {
+  const int64_t n = w1 - w0;  // draft window length
+  if (n <= 0 || read_len <= 0) return -1;
+  const int64_t m = read_len;
+  // banded DP over (read pos i, window pos j), band on |j - i*n/m|
+  // store full band rows for traceback
+  const int64_t W = band;
+  std::vector<int32_t> centers(m + 1);
+  for (int64_t i = 0; i <= m; ++i)
+    centers[i] = (int32_t)((i * n) / m);
+  const int32_t INF = 1 << 28;
+  std::vector<int32_t> cost((m + 1) * W, INF);
+  std::vector<int8_t> move((m + 1) * W, -1);
+
+  auto idx = [&](int64_t i, int64_t j) -> int64_t {
+    // band offset of window pos j in row i
+    int64_t off = j - (centers[i] - W / 2);
+    return (off < 0 || off >= W) ? -1 : i * W + off;
+  };
+  // init row 0: leading draft bases are "deletions" (free start? global: cost)
+  for (int64_t j = std::max<int64_t>(0, centers[0] - W / 2);
+       j <= std::min<int64_t>(n, centers[0] + W / 2 - 1); ++j) {
+    int64_t x = idx(0, j);
+    if (x >= 0) {
+      cost[x] = (int32_t)j;  // deleting leading draft bases costs
+      move[x] = 1;
+    }
+  }
+  for (int64_t i = 1; i <= m; ++i) {
+    const int64_t lo = std::max<int64_t>(0, centers[i] - W / 2);
+    const int64_t hi = std::min<int64_t>(n, centers[i] + W / 2 - 1);
+    for (int64_t j = lo; j <= hi; ++j) {
+      int64_t x = idx(i, j);
+      if (x < 0) continue;
+      int32_t best = INF;
+      int8_t mv = -1;
+      if (j > 0) {
+        int64_t d = idx(i - 1, j - 1);
+        if (d >= 0 && cost[d] < INF) {
+          int32_t c = cost[d] + (read[i - 1] == draft[w0 + j - 1] ? 0 : 1);
+          if (c < best) { best = c; mv = 0; }
+        }
+      }
+      {
+        int64_t u = idx(i - 1, j);
+        if (u >= 0 && cost[u] < INF && cost[u] + 1 < best) {
+          best = cost[u] + 1; mv = 2;  // read base inserted vs draft
+        }
+      }
+      if (j > 0) {
+        int64_t l = idx(i, j - 1);
+        if (l >= 0 && cost[l] < INF && cost[l] + 1 < best) {
+          best = cost[l] + 1; mv = 1;  // draft base deleted in read
+        }
+      }
+      if (mv >= 0) { cost[x] = best; move[x] = mv; }
+    }
+  }
+  // end: best cell in last row (free draft tail)
+  int64_t bj = -1;
+  int32_t bc = INF;
+  const int64_t lo = std::max<int64_t>(0, centers[m] - W / 2);
+  const int64_t hi = std::min<int64_t>(n, centers[m] + W / 2 - 1);
+  for (int64_t j = lo; j <= hi; ++j) {
+    int64_t x = idx(m, j);
+    if (x >= 0 && cost[x] < INF) {
+      int32_t c = cost[x];  // tail deletions are free (window may overshoot)
+      if (c < bc) { bc = c; bj = j; }
+    }
+  }
+  if (bj < 0) return -1;
+
+  // traceback, voting
+  int64_t i = m, j = bj;
+  int32_t pending_ins = -1;  // last read base inserted before draft pos
+  while (i > 0 || j > 0) {
+    int64_t x = idx(i, j);
+    if (x < 0 || move[x] < 0) break;
+    int8_t mv = move[x];
+    if (mv == 0) {
+      votes[(w0 + j - 1) * 5 + (read[i - 1] & 3)] += 1;
+      if (pending_ins >= 0) {
+        ins_votes[(w0 + j) * 4 + (pending_ins & 3)] += 1;
+        pending_ins = -1;
+      }
+      --i; --j;
+    } else if (mv == 1) {
+      votes[(w0 + j - 1) * 5 + 4] += 1;  // deletion vote
+      --j;
+    } else {
+      pending_ins = read[i - 1];  // insertion (attach to next matched pos)
+      --i;
+    }
+  }
+  return 0;
+}
+
+// Emit consensus from votes.  Returns output length, or -1 if cap exceeded.
+int64_t polish_consensus(const int32_t* votes, const int32_t* ins_votes,
+                         const uint8_t* draft, int64_t draft_len,
+                         int32_t min_cov, uint8_t* out, int64_t cap) {
+  int64_t n_out = 0;
+  for (int64_t p = 0; p <= draft_len; ++p) {
+    // insertions before position p: majority over covering reads
+    int32_t cov_here = 0;
+    if (p < draft_len)
+      for (int t = 0; t < 5; ++t) cov_here += votes[p * 5 + t];
+    int32_t bi = -1, bv = 0;
+    for (int t = 0; t < 4; ++t) {
+      int32_t v = ins_votes[p * 4 + t];
+      if (v > bv) { bv = v; bi = t; }
+    }
+    if (bi >= 0 && cov_here >= min_cov && bv * 2 > cov_here) {
+      if (n_out >= cap) return -1;
+      out[n_out++] = (uint8_t)bi;
+    }
+    if (p == draft_len) break;
+    int32_t total = cov_here;
+    if (total < min_cov) {  // low coverage: keep draft base
+      if (n_out >= cap) return -1;
+      out[n_out++] = draft[p];
+      continue;
+    }
+    // deletion must win a strict majority (symmetric with insertion);
+    // otherwise emit the best base
+    if (votes[p * 5 + 4] * 2 > total) continue;
+    int32_t best_t = 0, best_v = -1;
+    for (int t = 0; t < 4; ++t) {
+      int32_t v = votes[p * 5 + t];
+      if (v > best_v) { best_v = v; best_t = t; }
+    }
+    if (n_out >= cap) return -1;
+    out[n_out++] = (uint8_t)best_t;
+  }
+  return n_out;
+}
+
+}  // extern "C"

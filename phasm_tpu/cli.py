@@ -177,6 +177,8 @@ def cmd_pipeline(args):
         length_fuzz=args.length_fuzz,
         max_tip_len=args.max_tip_len,
         phase=PhaseConfig(ploidy=args.ploidy, prune_factor=args.prune_factor),
+        adaptive_error=args.adaptive_error,
+        polish=args.polish,
     )
     res = assemble(rs, t, cfg)
     res.write_fasta(args.out)
@@ -250,6 +252,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-tip-len", type=int, default=4)
     s.add_argument("--prune-factor", type=float, default=0.01)
     s.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
+    s.add_argument("--adaptive-error", action="store_true",
+                   help="per-pair adaptive divergence filter (haplotype purity)")
+    s.add_argument("--polish", action="store_true",
+                   help="consensus-polish output sequences (pileup voting)")
     s.set_defaults(fn=cmd_pipeline)
 
     return p

@@ -38,7 +38,7 @@ def ladder() -> list[LadderConfig]:
             pipeline=PipelineConfig(
                 min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
                 evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
-                adaptive_error=True,
+                adaptive_error=True, polish=True,
             ),
         ),
         LadderConfig(
@@ -55,7 +55,7 @@ def ladder() -> list[LadderConfig]:
                 min_read_length=500, min_overlap_length=500,
                 max_error_rate=0.10, length_fuzz=300,
                 evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
-                adaptive_error=True,
+                adaptive_error=True, polish=True,
             ),
         ),
         LadderConfig(
@@ -68,6 +68,7 @@ def ladder() -> list[LadderConfig]:
             overlap=OverlapConfig(min_overlap=1000),
             pipeline=PipelineConfig(
                 min_overlap_length=1000, max_error_rate=0.16, length_fuzz=1000,
+                polish=True,
             ),
         ),
         LadderConfig(
@@ -83,7 +84,7 @@ def ladder() -> list[LadderConfig]:
             pipeline=PipelineConfig(
                 min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
                 evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
-                adaptive_error=True,
+                adaptive_error=True, polish=True,
             ),
         ),
         LadderConfig(
@@ -99,7 +100,7 @@ def ladder() -> list[LadderConfig]:
             pipeline=PipelineConfig(
                 min_overlap_length=800, max_error_rate=0.10, length_fuzz=400,
                 evidence_max_error=0.5, phase=PhaseConfig(ploidy=3),
-                adaptive_error=True,
+                adaptive_error=True, polish=True,
             ),
         ),
     ]

@@ -88,6 +88,25 @@ class UnitigGraph:
             seq = np.concatenate([seq, nxt[nxt.shape[0] - el :]])
         return seq
 
+    def walk_members(self, path: list[int], path_elens: list[int]):
+        """(member_oids, member_offsets) over a spelled walk — the same
+        coordinate arithmetic as spell_path, used by consensus polishing."""
+        mems: list[int] = []
+        offs: list[int] = []
+        total = 0
+        for idx, node in enumerate(path):
+            if idx == 0:
+                node_start = 0
+                total = int(self.length[node])
+            else:
+                el = int(path_elens[idx - 1])
+                node_start = max(total - (int(self.length[node]) - el), 0)
+                total = max(total + el, node_start + int(self.length[node]))
+            for m, o in zip(self.members[node], self.offsets[node]):
+                mems.append(int(m))
+                offs.append(node_start + int(o))
+        return mems, offs
+
 
 def merge_unambiguous_paths(g: StringGraph) -> UnitigGraph:
     """Contract maximal unambiguous chains of the (symmetric) string graph."""

@@ -130,3 +130,63 @@ def match_seed_pairs_native(read_id, pos, canon, orient, lengths, k, max_occ):
         if got >= 0:
             return a[:got], b[:got], st[:got], dg[:got]
         cap *= 2
+
+
+def _bind_polish(lib):
+    import ctypes
+
+    if getattr(lib, "_polish_bound", False):
+        return
+    i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
+    p = ctypes.POINTER
+    lib.polish_accumulate.restype = ctypes.c_int
+    lib.polish_accumulate.argtypes = [
+        p(u8), i64, p(u8), i32, i64, i64, i32, p(i32), p(i32),
+    ]
+    lib.polish_consensus.restype = i64
+    lib.polish_consensus.argtypes = [
+        p(i32), p(i32), p(u8), i64, i32, p(u8), i64,
+    ]
+    lib._polish_bound = True
+
+
+def polish_native(draft, member_seqs, member_offsets, band=128, min_cov=3):
+    """Pileup-consensus polish of a draft sequence from its member reads.
+
+    draft          uint8 base codes
+    member_seqs    list of uint8 arrays (oriented member read codes)
+    member_offsets list of int draft start offsets
+    Returns the polished uint8 array, or None if native lib unavailable.
+    """
+    import ctypes
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "polish_accumulate"):
+        return None
+    _bind_polish(lib)
+
+    draft = np.ascontiguousarray(draft, dtype=np.uint8)
+    n = draft.shape[0]
+    votes = np.zeros((n, 5), dtype=np.int32)
+    ins_votes = np.zeros((n + 1, 4), dtype=np.int32)
+    pad = band
+    for seq, off in zip(member_seqs, member_offsets):
+        seq = np.ascontiguousarray(seq, dtype=np.uint8)
+        w0 = max(int(off) - pad // 2, 0)
+        w1 = min(int(off) + seq.shape[0] + pad // 2, n)
+        lib.polish_accumulate(
+            _ptr(draft, ctypes.c_uint8), n,
+            _ptr(seq, ctypes.c_uint8), seq.shape[0],
+            w0, w1, band,
+            _ptr(votes, ctypes.c_int32), _ptr(ins_votes, ctypes.c_int32),
+        )
+    cap = n + n // 4 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    got = lib.polish_consensus(
+        _ptr(votes, ctypes.c_int32), _ptr(ins_votes, ctypes.c_int32),
+        _ptr(draft, ctypes.c_uint8), n, min_cov,
+        _ptr(out, ctypes.c_uint8), cap,
+    )
+    if got < 0:
+        return None
+    return out[:got].copy()

@@ -59,6 +59,10 @@ class PipelineConfig:
     phase: PhaseConfig = dataclasses.field(default_factory=PhaseConfig)
     # evidence: keep alignments below this error for phasing support
     evidence_max_error: float = 0.3
+    # consensus polish (pileup voting over member reads; C++ host kernel)
+    polish: bool = False
+    polish_band: int = 128
+    polish_min_cov: int = 3
 
 
 @dataclasses.dataclass
@@ -152,11 +156,35 @@ def assemble(
     with metrics.stage("pipeline.phase", chains=len(chains)):
         results = phase_all(ug, reads, evidence, chains, cfg.phase)
 
+    elen_lookup = {
+        (int(s), int(d)): int(e) for s, d, e in zip(ug.src, ug.dst, ug.elen)
+    }
+
+    def _polish(seq, mems, offs):
+        if not cfg.polish:
+            return seq
+        from phasm_tpu import native
+
+        out = native.polish_native(
+            seq,
+            [reads.oriented_seq(m) for m in mems],
+            offs,
+            band=cfg.polish_band,
+            min_cov=cfg.polish_min_cov,
+        )
+        return out if out is not None else seq
+
     haplotigs = []
     chain_nodes: set[int] = set()
     for ci, r in enumerate(results):
         for m, seq in enumerate(r.haplotigs):
-            haplotigs.append((f"haplotig_c{ci}_h{m}", seq))
+            nodes = r.haplotype_paths[m]
+            elens = [
+                elen_lookup[(nodes[j], nodes[j + 1])]
+                for j in range(len(nodes) - 1)
+            ]
+            mems, offs = ug.walk_members(nodes, elens)
+            haplotigs.append((f"haplotig_c{ci}_h{m}", _polish(seq, mems, offs)))
         for nodes in r.haplotype_paths:
             chain_nodes.update(nodes)
             chain_nodes.update(int(ug.rc[n]) for n in nodes)
@@ -173,7 +201,11 @@ def assemble(
         d = int(ug.rc[u])
         emitted.add(u)
         emitted.add(d)
-        contigs.append((f"contig_u{u}", ug.spell(u, reads)))
+        seq = ug.spell(u, reads)
+        seq = _polish(
+            seq, [int(m) for m in ug.members[u]], [int(o) for o in ug.offsets[u]]
+        )
+        contigs.append((f"contig_u{u}", seq))
     stats["n_haplotigs"] = len(haplotigs)
     stats["n_contigs"] = len(contigs)
 

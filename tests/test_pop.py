@@ -143,3 +143,46 @@ def test_adaptive_filter_improves_allele_purity():
     assert p_adapt, "adaptive run produced no measurable haplotigs"
     assert np.mean(p_adapt) > np.mean(p_base) + 0.05, (p_base, p_adapt)
     assert np.mean(p_adapt) >= 0.7, p_adapt
+
+
+def test_consensus_polish_improves_accuracy():
+    """Pileup polish (C++ racon-lite): per-base accuracy must jump from
+    raw-read level (~95%) to >= 99% on the noisy haploid config."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import pytest
+
+    from phasm_tpu import dna, native
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.pipeline import PipelineConfig, assemble
+    from phasm_tpu.sim import simulate_reads
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    def accuracy_est(seq, genome, k=21, step=97):
+        gs = dna.decode(genome) + " " + dna.decode(dna.revcomp(genome))
+        hits = tot = 0
+        for off in range(0, len(seq) - k, step):
+            tot += 1
+            if dna.decode(seq[off : off + k]) in gs:
+                hits += 1
+        p = hits / max(tot, 1)
+        return p ** (1.0 / k) if p > 0 else 0.0
+
+    rs, truth = simulate_reads(
+        seed=9, genome_len=25_000, ploidy=1, coverage=18, mean_read_len=4000,
+        error_rate=0.05, read_len_spread=0.25,
+    )
+    t = overlap_reads(rs, OverlapConfig(min_overlap=700, backend="jnp"))
+    accs = {}
+    for pol in (False, True):
+        cfg = PipelineConfig(
+            min_overlap_length=700, max_error_rate=0.16, length_fuzz=700,
+            polish=pol,
+        )
+        res = assemble(rs, t, cfg)
+        accs[pol] = accuracy_est(res.contigs[0][1], truth.haplotypes[0])
+    assert accs[True] >= 0.99, accs
+    assert accs[True] > accs[False] + 0.02, accs
