@@ -7,8 +7,6 @@ Every vectorized pass in this package is tested against these
 """
 from __future__ import annotations
 
-import numpy as np
-
 from phasm_tpu.graph.structure import StringGraph
 
 

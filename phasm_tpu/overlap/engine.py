@@ -16,12 +16,7 @@ import numpy as np
 
 from phasm_tpu.alignments import AlignmentTable
 from phasm_tpu.overlap import seeding
-from phasm_tpu.overlap.extend import (
-    BIG,
-    ExtendResult,
-    banded_overlap_batch,
-    banded_overlap_pallas,
-)
+from phasm_tpu.overlap.extend import BIG, ExtendResult
 from phasm_tpu.reads import ReadSet
 
 
@@ -35,16 +30,6 @@ class OverlapConfig:
     seg: int = 4096  # segment size for longer pairs (segmented kernel)
     max_jmax: int = 131072  # hard cap on overlap length
     backend: str = "auto"  # auto | pallas | jnp
-
-
-def _extend(backend, oriented, lengths, a_oid, b_oid, d0, band, jmax):
-    if backend == "pallas":
-        return banded_overlap_pallas(
-            oriented, lengths, a_oid, b_oid, d0, band=band, jmax=jmax
-        )
-    return banded_overlap_batch(
-        oriented, lengths, a_oid, b_oid, d0, band=band, jmax=jmax
-    )
 
 
 _MAX_BATCH = 16384  # pairs per device call (amortizes dispatch, bounds HBM)
