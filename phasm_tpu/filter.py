@@ -110,6 +110,20 @@ class FilterChain:
         return t.take(keep), types[keep], contained
 
 
+def estimate_read_errors(t: AlignmentTable, n_reads: int) -> np.ndarray:
+    """Per-read intrinsic error: half the read's MEDIAN per-overlap divergence
+    (most partners are same-haplotype, so the median tracks sequencing error,
+    not haplotype distance)."""
+    err = t.diffs / np.maximum(t.overlap_length(), 1)
+    per_read: list[list[float]] = [[] for _ in range(n_reads)]
+    for a, b, e in zip(t.a_id.tolist(), t.b_id.tolist(), err.tolist()):
+        per_read[a].append(e)
+        per_read[b].append(e)
+    return np.array(
+        [np.median(x) / 2 if x else 0.0 for x in per_read], dtype=np.float64
+    )
+
+
 @dataclasses.dataclass
 class AdaptiveErrorRate:
     """Per-pair adaptive divergence filter (haplotype-separation booster).
@@ -132,13 +146,6 @@ class AdaptiveErrorRate:
         if len(t) == 0:
             return np.ones(0, dtype=bool)
         err = t.diffs / np.maximum(t.overlap_length(), 1)
-        n = int(lengths.shape[0])
-        per_read: list[list[float]] = [[] for _ in range(n)]
-        for a, b, e in zip(t.a_id.tolist(), t.b_id.tolist(), err.tolist()):
-            per_read[a].append(e)
-            per_read[b].append(e)
-        e_read = np.array(
-            [np.median(x) / 2 if x else 0.0 for x in per_read], dtype=np.float64
-        )
+        e_read = estimate_read_errors(t, int(lengths.shape[0]))
         expected = e_read[t.a_id] + e_read[t.b_id]
         return err <= expected * self.factor + self.margin

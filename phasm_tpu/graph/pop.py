@@ -50,18 +50,22 @@ def pop_error_bubbles(
     dominance: float = 5.0,
     max_rounds: int = 8,
     aln=None,
-    pop_err: float | None = None,
+    e_read=None,
+    factor: float = 1.25,
+    margin: float = 0.01,
 ) -> tuple[StringGraph, np.ndarray]:
     """Iteratively pop spurious bubble arms.  Two rules:
 
     1. support: weak arm has <= max_weak_reads reads AND the strongest arm
        has >= dominance x that (error bubbles in deep haploid regions);
-    2. similarity (when `aln`+`pop_err` given): two arms whose reads align
-       to EACH OTHER below `pop_err` divergence are the same locus split by
-       the error-rate filter threshold ("threshold-fragmentation" bubbles);
-       the weaker arm is popped.  Heterozygous arms only align at
-       hotspot-level divergence, so a pop_err just above the read-error
-       band leaves them alone.
+    2. similarity (when `aln` + per-read error estimates given): two arms
+       whose reads align to each other WITHIN their pair error expectation
+       (err <= (e_a + e_b)*factor + margin, the AdaptiveErrorRate rule) are
+       the same locus split by a filter threshold ("threshold-fragmentation"
+       bubbles); the weaker arm is popped.  Heterozygous arms diverge beyond
+       their pair expectation, so they are untouched for ANY config — a
+       fixed global pop threshold cannot make that guarantee (it regressed
+       the ladder's diploid rungs).
 
     Returns (graph, removed_reads_mask).
     """
@@ -69,7 +73,7 @@ def pop_error_bubbles(
 
     # read-pair -> min alignment error (for the similarity rule)
     pair_err: dict[tuple[int, int], float] = {}
-    if aln is not None and pop_err is not None and len(aln):
+    if aln is not None and e_read is not None and len(aln):
         errs = aln.diffs / np.maximum(aln.overlap_length(), 1)
         for a, b, e in zip(aln.a_id.tolist(), aln.b_id.tolist(), errs.tolist()):
             k = (a, b) if a < b else (b, a)
@@ -82,7 +86,8 @@ def pop_error_bubbles(
         for r1 in reads1:
             for r2 in reads2:
                 k = (r1, r2) if r1 < r2 else (r2, r1)
-                if pair_err.get(k, np.inf) <= pop_err:
+                e = pair_err.get(k, np.inf)
+                if e <= (e_read[r1] + e_read[r2]) * factor + margin:
                     return True
         return False
 

@@ -130,10 +130,13 @@ def assemble(
         stats["edges_after_reduction"] = g.n_edges
         g, removed = remove_tips(g, max_tip_len=cfg.max_tip_len)
         if cfg.pop_bubbles:
+            from phasm_tpu.filter import estimate_read_errors
+
             g, popped = pop_error_bubbles(
                 g, max_weak_reads=cfg.pop_max_weak_reads,
                 dominance=cfg.pop_dominance,
-                aln=alignments, pop_err=cfg.max_error_rate * 1.2,
+                aln=alignments,
+                e_read=estimate_read_errors(alignments, reads.n_reads),
             )
             g, removed2 = remove_tips(g, max_tip_len=cfg.max_tip_len)
             stats["bubble_reads_popped"] = int(popped.sum())
