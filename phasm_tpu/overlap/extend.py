@@ -601,13 +601,29 @@ class DeviceExtender:
         def run(oriented, lengths, a_oid, b_oid, d0):
             la = lengths[a_oid >> 1]
             lb = lengths[b_oid >> 1]
-            a_rows = oriented[a_oid].astype(jnp.int32)
-            b_rows = oriented[b_oid].astype(jnp.int32)
             Lp = oriented.shape[1]
+            # general gathers (take_along_axis) lower terribly on TPU
+            # (~50 M elem/s observed); band extraction uses contiguous
+            # vmapped dynamic slices over a padded copy instead.  Left pad W
+            # zeros so start = d0 stays in range; right pad so every slice
+            # fits.  The device-side pad/copy is bandwidth-cheap.
+            opad = jnp.pad(oriented, ((0, 0), (W, cols + W)))
+            a_rows = opad[a_oid]
+            b_rows = oriented[b_oid]
 
             if kernel_run is not None:
-                # segmented halo layout: row r of segment s holds
-                # a[d0 + s*seg + r - W/2]  (W-column halo per segment)
+                # segmented halo layout: segment si covers
+                # a[d0 + si*seg - W/2 .. + seg + W/2) — one contiguous slice
+                # each (start in opad coords: d0 + si*seg - W/2 + W)
+                def slice_seg(row, start):
+                    return jax.lax.dynamic_slice(row, (start,), (seg + W,))
+
+                parts = [
+                    jax.vmap(slice_seg)(a_rows, d0 + si * seg + W // 2)
+                    for si in range(n_seg)
+                ]
+                a2 = jnp.concatenate(parts, axis=1).astype(jnp.int32)
+                # re-mask out-of-read positions (pad zeros would fake matches)
                 tt = jnp.arange(n_seg * (seg + W), dtype=jnp.int32)
                 ai = (
                     d0[:, None]
@@ -615,37 +631,31 @@ class DeviceExtender:
                     + (tt % (seg + W))[None, :]
                     - W // 2
                 )
-                a_ok = (ai >= 0) & (ai < la[:, None])
-                a2 = jnp.where(
-                    a_ok,
-                    jnp.take_along_axis(a_rows, jnp.clip(ai, 0, Lp - 1), axis=1),
-                    254,
-                )
+                a2 = jnp.where((ai >= 0) & (ai < la[:, None]), a2, 254)
                 j = jnp.arange(cols, dtype=jnp.int32)[None, :]
                 b_base = (
                     b_rows[:, :cols]
                     if Lp >= cols
                     else jnp.pad(b_rows, ((0, 0), (0, cols - Lp)))
                 )
-                b2 = jnp.where(j < lb[:, None], b_base, 255)
+                b2 = jnp.where(j < lb[:, None], b_base, 255).astype(jnp.int32)
                 out = kernel_run(d0[None, :], la[None, :], lb[None, :], a2.T, b2.T)
                 return out[0], out[1], out[2], out[3]
 
+            def slice_full(row, start):
+                return jax.lax.dynamic_slice(row, (start,), (cols + W,))
+
+            a2 = jax.vmap(slice_full)(a_rows, d0 + W // 2).astype(jnp.int32)
             t = jnp.arange(cols + W, dtype=jnp.int32)[None, :]
             ai = d0[:, None] + t - W // 2
-            a_ok = (ai >= 0) & (ai < la[:, None])
-            a2 = jnp.where(
-                a_ok,
-                jnp.take_along_axis(a_rows, jnp.clip(ai, 0, Lp - 1), axis=1),
-                254,
-            )
+            a2 = jnp.where((ai >= 0) & (ai < la[:, None]), a2, 254)
             j = jnp.arange(cols, dtype=jnp.int32)[None, :]
             b_base = (
                 b_rows[:, :cols]
                 if Lp >= cols
                 else jnp.pad(b_rows, ((0, 0), (0, cols - Lp)))
             )
-            b2 = jnp.where(j < lb[:, None], b_base, 255)
+            b2 = jnp.where(j < lb[:, None], b_base, 255).astype(jnp.int32)
             return dp_core(a2, b2, la, lb, d0, W)
 
         self._runs[key] = run
