@@ -118,4 +118,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # the axon tunnel occasionally drops a transfer with
+        # FAILED_PRECONDITION; one retry is enough in practice, and the
+        # driver must always get its one JSON line
+        import time as _t
+
+        _t.sleep(5)
+        main()

@@ -673,13 +673,20 @@ class DeviceExtender:
             b_oid = np.pad(b_oid, (0, pad))
             d0 = np.pad(d0, (0, pad))
         run = self._get_run(jmax, block_b)
-        cost, i0, ie, je = run(
+        args = (
             self._oriented,
             self._lengths,
             np.asarray(a_oid, dtype=np.int32),
             np.asarray(b_oid, dtype=np.int32),
             np.asarray(d0, dtype=np.int32),
         )
+        try:
+            cost, i0, ie, je = run(*args)
+        except Exception:  # transient tunnel FAILED_PRECONDITION: retry once
+            import time
+
+            time.sleep(2)
+            cost, i0, ie, je = run(*args)
         return ExtendResult(
             a_start=np.asarray(i0)[:M],
             a_end=np.asarray(ie)[:M],
