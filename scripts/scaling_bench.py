@@ -23,9 +23,14 @@ import numpy as np
 def main():
     import jax
 
-    if jax.default_backend() != "tpu":
+    # force the virtual CPU mesh via config BEFORE backend init: the axon
+    # plugin ignores JAX_PLATFORMS env, and probing default_backend() would
+    # initialize the TPU first.  On a real pod slice, delete these two lines.
+    try:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        pass  # backends already initialized by the caller
 
     from phasm_tpu.overlap.extend import prepare_pair_tensors
     from phasm_tpu.parallel import make_mesh, sharded_extend_step
