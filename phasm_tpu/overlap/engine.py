@@ -94,6 +94,11 @@ def overlap_reads(reads: ReadSet, cfg: OverlapConfig | None = None) -> Alignment
         k *= 2
     edges.append(((max_need + cfg.seg - 1) // cfg.seg) * cfg.seg if max_need > cfg.pallas_buckets[0] else cfg.pallas_buckets[0])
     edges = sorted(set(edges))
+
+    # two-phase: dispatch every chunk of every bucket (results stay on
+    # device), then materialize — overlaps device compute with the tunnel
+    # round-trips instead of syncing per chunk
+    pending = []  # (sel_mask, jmax, [(device_out, M), ...])
     prev = 0
     for bi, cap in enumerate(edges):
         sel = (need > prev) & (need <= cap) if bi + 1 < len(edges) else (need > prev)
@@ -101,14 +106,19 @@ def overlap_reads(reads: ReadSet, cfg: OverlapConfig | None = None) -> Alignment
         if not np.any(sel):
             continue
         jmax = cap
-        parts = []
+        outs = []
         sel_idx = np.nonzero(sel)[0]
-        with metrics.stage(f"overlap.extend.j{jmax}", pairs=sel_idx.shape[0]):
+        with metrics.stage(f"overlap.dispatch.j{jmax}", pairs=sel_idx.shape[0]):
             for s0 in range(0, sel_idx.shape[0], _MAX_BATCH):
                 chunk = sel_idx[s0 : s0 + _MAX_BATCH]
-                parts.append(
-                    extender.extend(ka[chunk], kb[chunk], kd[chunk], jmax)
+                outs.append(
+                    extender.extend_async(ka[chunk], kb[chunk], kd[chunk], jmax)
                 )
+        pending.append((sel, jmax, outs))
+
+    for sel, jmax, outs in pending:
+        with metrics.stage(f"overlap.extend.j{jmax}", pairs=int(sel.sum())):
+            parts = [extender.materialize(out, M) for out, M in outs]
         res = ExtendResult(
             a_start=np.concatenate([p.a_start for p in parts]),
             a_end=np.concatenate([p.a_end for p in parts]),

@@ -661,10 +661,16 @@ class DeviceExtender:
         self._runs[key] = run
         return run
 
-    def extend(
+    def extend_async(
         self, a_oid: np.ndarray, b_oid: np.ndarray, d0: np.ndarray, jmax: int,
         block_b: int = 128,
-    ) -> ExtendResult:
+    ):
+        """Dispatch one batch; returns (device_arrays, M).
+
+        Results stay on device so callers can pipeline many batches and pay
+        the tunnel round-trips once at the end (engine does this; the
+        synchronous per-batch path cost ~60% of wall time otherwise).
+        """
         M = int(a_oid.shape[0])
         Mp = ((M + block_b - 1) // block_b) * block_b
         if Mp != M:
@@ -681,12 +687,17 @@ class DeviceExtender:
             np.asarray(d0, dtype=np.int32),
         )
         try:
-            cost, i0, ie, je = run(*args)
+            out = run(*args)
         except Exception:  # transient tunnel FAILED_PRECONDITION: retry once
             import time
 
             time.sleep(2)
-            cost, i0, ie, je = run(*args)
+            out = run(*args)
+        return out, M
+
+    @staticmethod
+    def materialize(out, M: int) -> ExtendResult:
+        cost, i0, ie, je = out
         return ExtendResult(
             a_start=np.asarray(i0)[:M],
             a_end=np.asarray(ie)[:M],
@@ -694,6 +705,13 @@ class DeviceExtender:
             b_end=np.asarray(je)[:M],
             diffs=np.asarray(cost)[:M],
         )
+
+    def extend(
+        self, a_oid: np.ndarray, b_oid: np.ndarray, d0: np.ndarray, jmax: int,
+        block_b: int = 128,
+    ) -> ExtendResult:
+        out, M = self.extend_async(a_oid, b_oid, d0, jmax, block_b)
+        return self.materialize(out, M)
 
 
 # ---------------------------------------------------------------------------
