@@ -672,7 +672,13 @@ class DeviceExtender:
         synchronous per-batch path cost ~60% of wall time otherwise).
         """
         M = int(a_oid.shape[0])
-        Mp = ((M + block_b - 1) // block_b) * block_b
+        # pad M to the next power of two (>= 1024): every (M, jmax) shape
+        # costs a minutes-long remote compile, so keep the variant set finite
+        # and permanently covered by the persistent cache
+        Mp = 1024
+        while Mp < M:
+            Mp *= 2
+        Mp = max(((Mp + block_b - 1) // block_b) * block_b, block_b)
         if Mp != M:
             pad = Mp - M
             a_oid = np.pad(a_oid, (0, pad))
