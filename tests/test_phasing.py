@@ -378,3 +378,50 @@ def test_ploidy3_error_free_end_to_end():
         assert best[1] / best[2] < 0.01, f"identity too low: {best}"
         matched.add(best[0])
     assert matched == {0, 1, 2}, f"haplotigs collapse onto {matched}"
+
+
+def test_aneuploid_region_duplicate_arm_choice():
+    """Aneuploidy semantics (SURVEY §1: k varies per region): in a k=3 run,
+    a bubble with only TWO arms must assign two haplotypes to the
+    better-supported arm — duplicate choices are how regional ploidy loss is
+    represented (the coverage model arbitrates)."""
+    n_units = 4  # A, B0, B1, C
+    A, B0, B1, C = 0, 1, 2, 3
+    edges = [(A, B0), (A, B1), (B0, C), (B1, C)]
+    rc = list(range(n_units, 2 * n_units)) + list(range(n_units))
+    dual = [(rc[v], rc[u]) for (u, v) in edges]
+    all_edges = edges + dual
+
+    n_member = n_units
+    n_support = 9  # 6 reads on B0 (double coverage), 3 on B1
+    reads = ReadSet.from_sequences(["ACGT" * 25] * (n_member + n_support))
+    members = [np.array([2 * i]) for i in range(n_member)]
+    members += [np.array([2 * i + 1]) for i in range(n_member)]
+    src = np.array([e[0] for e in all_edges], dtype=np.int32)
+    dst = np.array([e[1] for e in all_edges], dtype=np.int32)
+    order = np.lexsort((dst, src))
+    ug = UnitigGraph(
+        members=members,
+        offsets=[np.zeros(1, dtype=np.int64)] * (2 * n_member),
+        length=np.full(2 * n_units, 100, dtype=np.int64),
+        rc=np.array(rc, dtype=np.int64),
+        src=src[order],
+        dst=dst[order],
+        elen=np.full(len(all_edges), 50, dtype=np.int32)[order],
+        ovl=np.full(len(all_edges), 50, dtype=np.int32)[order],
+    )
+    rows = []
+    rid = n_member
+    for _ in range(6):
+        rows.append((rid, B0, 0, 0, 50, 50, 100, 0)); rid += 1
+    for _ in range(3):
+        rows.append((rid, B1, 0, 0, 50, 50, 100, 0)); rid += 1
+    aln = AlignmentTable.from_rows(rows)
+
+    chains = build_chains(ug, find_superbubbles(ug))
+    assert len(chains) == 1
+    res = phase_chain(ug, reads, aln, chains[0], PhaseConfig(ploidy=3))
+    arms = sorted(p[1] for p in res.haplotype_paths)
+    # two haplotypes on the 2x-covered arm, one on the other (up to RC frame)
+    rcB0, rcB1 = int(ug.rc[B0]), int(ug.rc[B1])
+    assert arms in ([B0, B0, B1], sorted([rcB0, rcB0, rcB1])), arms
