@@ -105,3 +105,35 @@ def save_table_npz(path: str, t: AlignmentTable) -> None:
 def load_table_npz(path: str) -> AlignmentTable:
     m = np.load(path)["matrix"]
     return AlignmentTable(*(m[:, i] for i in range(8)))
+
+
+def write_paf(path: str, t: AlignmentTable, lengths: np.ndarray, names=None) -> None:
+    """Write alignments as PAF (minimap2 interchange; modern ecosystems speak
+    PAF rather than LAdump).  b-coordinates are converted back to the forward
+    strand of b as PAF requires.
+    """
+    def nm(i: int) -> str:
+        return names[i] if names is not None else f"read_{i}"
+
+    with open(path, "w") as fh:
+        for i in range(len(t)):
+            a, b = int(t.a_id[i]), int(t.b_id[i])
+            la, lb = int(lengths[a]), int(lengths[b])
+            st = int(t.strand[i])
+            bs, be = int(t.b_start[i]), int(t.b_end[i])
+            if st:  # oriented-b coords -> forward-b coords
+                bs, be = lb - be, lb - bs
+            span = max(int(t.a_end[i]) - int(t.a_start[i]), be - bs)
+            matches = max(span - int(t.diffs[i]), 0)
+            fh.write(
+                "\t".join(
+                    str(x)
+                    for x in (
+                        nm(a), la, int(t.a_start[i]), int(t.a_end[i]),
+                        "-" if st else "+",
+                        nm(b), lb, bs, be,
+                        matches, span, 255,
+                    )
+                )
+                + "\n"
+            )

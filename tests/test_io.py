@@ -129,3 +129,47 @@ def test_cli_stage_pipeline(tmp_path):
         assert os.path.exists(f"{d}/{f}")
     g, rs = gfa.read_gfa2(f"{d}/g.gfa2")
     assert g.n_edges > 0
+
+
+def test_write_paf(tmp_path):
+    t = AlignmentTable.from_rows(
+        [
+            (0, 1, 0, 600, 995, 5, 400, 12),
+            (0, 1, 1, 600, 995, 5, 400, 12),
+        ]
+    )
+    lengths = np.array([1000, 800], dtype=np.int32)
+    p = str(tmp_path / "o.paf")
+    daligner.write_paf(p, t, lengths, names=["ra", "rb"])
+    lines = [l.split("\t") for l in open(p).read().splitlines()]
+    assert len(lines) == 2
+    assert lines[0][:9] == ["ra", "1000", "600", "995", "+", "rb", "800", "5", "400"]
+    # reverse strand converts oriented-b to forward-b coordinates
+    assert lines[1][4] == "-"
+    assert lines[1][7:9] == ["400", "795"]
+
+
+def test_gfa2_unitig_writer(tmp_path):
+    from phasm_tpu.graph import (
+        build_string_graph, merge_unambiguous_paths, remove_transitive_edges,
+    )
+    from phasm_tpu.sim import simulate_reads, truth_alignments
+
+    rs, truth = simulate_reads(
+        seed=3, genome_len=10_000, ploidy=1, coverage=10, mean_read_len=2500,
+        error_rate=0.0, indel_rate=0.0,
+    )
+    t = truth_alignments(rs, truth, min_overlap=400)
+    types = t.classify(rs.lengths)
+    g = build_string_graph(t, types, rs.lengths)
+    g = remove_transitive_edges(g, fuzz=100)
+    ug = merge_unambiguous_paths(g)
+    path = str(tmp_path / "u.gfa2")
+    gfa.write_gfa2_unitigs(path, ug, rs)
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("H\t")
+    s_lines = [l for l in lines if l.startswith("S\t")]
+    assert len(s_lines) == ug.n_nodes
+    # spelled sequence length matches the S-line declared length
+    parts = s_lines[0].split("\t")
+    assert len(parts[3]) == int(parts[2])
