@@ -10,14 +10,71 @@ overlap pairs shaped like the E. coli config (4 kb mean overlaps, ~10%
 pairwise divergence).  Measures steady-state device throughput with
 device-resident inputs (the production engine streams batches, amortizing
 host transfer; see phasm_tpu/overlap/engine.py).
+
+Tunnel survival (the round-1 run died in jax.device_put):
+  * the persistent XLA compile cache is enabled BEFORE any jit — warm runs
+    skip the 1-4 min remote compile entirely;
+  * operands ship as uint8 in <=8 MB chunks (the tunnel drops large
+    transfers; int32 was 4x the traffic) and are cast to int32 on device;
+  * every device interaction (upload chunk, compile/warm call, timed run,
+    result fetch) retries independently on transient tunnel errors with
+    5/15/45 s backoff instead of re-running all of main() once.
 """
 import json
 import time
 
 import numpy as np
 
+_TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+              "ABORTED", "Socket closed", "Connection reset")
 
-def make_batch(rng, n_reads, read_len, n_pairs, err=0.05):
+
+def _is_transient(e: Exception) -> bool:
+    s = repr(e)
+    return any(t in s for t in _TRANSIENT)
+
+
+def robust(fn, what="device call", attempts=4, delays=(5, 15, 45)):
+    """Retry fn() on transient tunnel errors; re-raise real bugs at once."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered by _is_transient
+            if k == attempts - 1 or not _is_transient(e):
+                raise
+            import sys
+
+            print(f"# retry {what} ({k + 1}/{attempts - 1}): {type(e).__name__}",
+                  file=sys.stderr)
+            time.sleep(delays[min(k, len(delays) - 1)])
+
+
+def put_chunked(x: np.ndarray, max_bytes: int = 8 << 20):
+    """device_put in <=max_bytes chunks along the last axis, each retried."""
+    import jax
+    import jax.numpy as jnp
+
+    n = x.shape[-1]
+    per_col = max(1, x.nbytes // n)
+    cols = max(1, max_bytes // per_col)
+    parts = []
+    for s in range(0, n, cols):
+        c = np.ascontiguousarray(x[..., s : s + cols])
+        parts.append(robust(lambda c=c: jax.device_put(c), "upload chunk"))
+    if len(parts) == 1:
+        return parts[0]
+    return robust(lambda: jnp.concatenate(parts, axis=-1), "device concat")
+
+
+def make_batch(rng, n_reads, read_len, n_pairs, jmax, err=0.05):
+    """Dovetail pairs whose alignment COMPLETES within the jmax window.
+
+    Round 1 sampled any pair within read_len-500 bp, so most pairs needed
+    ~read_len columns but the kernel ran jmax=2048 — they hit no endpoint
+    and returned BIG ("no alignment"), i.e. the bench was timing a workload
+    whose alignments mostly don't finish.  Keep only pairs with
+    read_len - d0 + slack <= jmax so every pair ends at i == la in-window.
+    """
     genome = rng.integers(0, 4, 400_000).astype(np.uint8)
     pos = rng.integers(0, genome.shape[0] - read_len, n_reads)
     codes = np.stack([genome[p : p + read_len] for p in pos])
@@ -27,17 +84,19 @@ def make_batch(rng, n_reads, read_len, n_pairs, err=0.05):
     ).astype(np.uint8)
     lengths = np.full(n_reads, read_len, dtype=np.int32)
 
-    # overlapping pairs: pick reads within 2kb of each other
+    d_min = max(read_len - jmax + 300, 0)
     order = np.argsort(pos, kind="stable")
     a_idx, b_idx, d0 = [], [], []
     i = 0
     while len(a_idx) < n_pairs:
-        x = order[i % (n_reads - 1)]
-        y = order[(i % (n_reads - 1)) + 1]
+        step = (i // (n_reads - 1)) % 8 + 1  # vary rank distance per pass
+        xi = i % (n_reads - step)
+        x = order[xi]
+        y = order[xi + step]
         i += 1
         if pos[y] < pos[x]:
             x, y = y, x
-        if pos[y] - pos[x] < read_len - 500:
+        if d_min <= pos[y] - pos[x] < read_len - 500:
             a_idx.append(x)
             b_idx.append(y)
             d0.append(pos[y] - pos[x])
@@ -55,43 +114,81 @@ def make_batch(rng, n_reads, read_len, n_pairs, err=0.05):
 def main():
     import jax
 
+    from phasm_tpu.overlap.extend import (
+        _enable_compilation_cache,
+        prepare_pair_tensors,
+    )
+
+    _enable_compilation_cache()  # BEFORE any jit: warm runs skip remote compiles
     backend = jax.default_backend()
-    from phasm_tpu.overlap.extend import prepare_pair_tensors
 
     W = 64
     if backend == "tpu":
         # large batch amortizes the per-call dispatch overhead (~5 ms through
         # the axon tunnel); production engine batches the same way
-        JMAX, M, iters = 2048, 16384, 5
+        JMAX, M, iters = 2048, 16384, 20
+        READ_LEN, N_READS = 4096, 512
     else:
-        JMAX, M, iters = 512, 256, 3
+        JMAX, M, iters = 1024, 256, 3
+        READ_LEN, N_READS = 1200, 1024
 
     rng = np.random.default_rng(0)
-    oriented, lengths, a_oid, b_oid, d0 = make_batch(rng, 512, 4096, M)
+    oriented, lengths, a_oid, b_oid, d0 = make_batch(
+        rng, N_READS, READ_LEN, M, JMAX
+    )
     a2, b2, la, lb = prepare_pair_tensors(
         oriented, lengths, a_oid, b_oid, d0, W, JMAX
     )
 
     if backend == "tpu":
+        import jax.numpy as jnp
+
         from phasm_tpu.overlap.extend import _make_pallas_extend
 
-        run = _make_pallas_extend(W, JMAX, 128, False)
-        args = [
-            jax.device_put(x)
+        kernel_run = _make_pallas_extend(W, JMAX, 128, False)
+
+        @jax.jit
+        def run(d0d, lad, lbd, a2T_u8, b2T_u8):
+            # cast on device: uint8 over the tunnel is 4x less traffic
+            return kernel_run(
+                d0d, lad, lbd,
+                a2T_u8.astype(jnp.int32), b2T_u8.astype(jnp.int32),
+            )
+
+        small = [
+            robust(lambda x=x: jax.device_put(x), "upload scalar vec")
             for x in (
                 d0.astype(np.int32)[None, :],
                 la.astype(np.int32)[None, :],
                 lb.astype(np.int32)[None, :],
-                np.ascontiguousarray(a2.T).astype(np.int32),
-                np.ascontiguousarray(b2.T).astype(np.int32),
             )
         ]
-        np.asarray(run(*args))  # compile + warm
-        t0 = time.time()
-        for _ in range(iters):
-            out = run(*args)
-        np.asarray(out)
-        dt = (time.time() - t0) / iters
+        a2T = put_chunked(np.ascontiguousarray(a2.T))  # [JMAX+W, M] uint8
+        b2T = put_chunked(np.ascontiguousarray(b2.T))  # [JMAX, M] uint8
+        args = [*small, a2T, b2T]
+
+        # warm: compile (persistent-cached) + one full execution.  NOTE:
+        # jax.block_until_ready does NOT synchronize through the axon tunnel
+        # (measured: a 37 ms kernel "completed" in 0.05 ms) — only an actual
+        # fetch (np.asarray) is a reliable barrier, so every sync below is a
+        # fetch of the [4, M] result (256 KB; its tunnel cost is why iters is
+        # high — it amortizes to ~1% of the loop).
+        warm = robust(lambda: run(*args), "compile+warm", delays=(10, 30, 60))
+        warm_np = robust(lambda: np.asarray(warm), "warm sync")
+        n_found = int((warm_np[0] < (1 << 15)).sum())
+        assert n_found > 0.95 * M, (
+            f"bench workload broken: only {n_found}/{M} pairs aligned"
+        )
+
+        def timed():
+            t0 = time.time()
+            out = None
+            for _ in range(iters):
+                out = run(*args)
+            np.asarray(out)  # real barrier (see note above)
+            return (time.time() - t0) / iters
+
+        dt = robust(timed, "timed loop")
     else:
         from phasm_tpu.overlap.extend import _get_jit_batch
 
@@ -118,13 +215,14 @@ def main():
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception:
-        # the axon tunnel occasionally drops a transfer with
-        # FAILED_PRECONDITION; one retry is enough in practice, and the
-        # driver must always get its one JSON line
-        import time as _t
-
-        _t.sleep(5)
-        main()
+    # belt and braces: if a non-chunk-level failure slips through (e.g. the
+    # tunnel dies mid-compile in a way the per-call retries can't recover),
+    # restart main() from scratch up to twice before giving up
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(20 * (attempt + 1))

@@ -164,7 +164,17 @@ def enumerate_paths(
     branch step.  Paths are returned as tuples of *interior* unitig ids (a
     direct entrance->exit edge yields the empty tuple).  Deterministic
     (DFS in sorted-successor order); capped at max_paths.
+
+    When the cap bites (a bubble with more entrance->exit paths than
+    max_paths — e.g. a 17-arm bubble at the default 16), the truncation is
+    COUNTED (`phasing.paths_truncated` metric) and logged loudly: a silently
+    dropped arm could lose a haplotype (SURVEY.md §8.3 item 2 demands the
+    frontier provably contain everything the reference's prune keeps).
     """
+    import logging
+
+    from phasm_tpu import metrics
+
     succ, _ = _adjacency(g)
     s, t = bubble.entrance, bubble.exit
     paths: list[tuple[int, ...]] = []
@@ -176,4 +186,12 @@ def enumerate_paths(
                 paths.append(path)
             elif c in bubble.interior and c not in path:
                 stack.append((c, path + (c,)))
+    if stack:
+        metrics.incr("phasing.paths_truncated")
+        logging.getLogger("phasm_tpu.bubbles").warning(
+            "bubble <%d,%d> path enumeration truncated at max_paths=%d "
+            "(interior size %d) — raise PhaseConfig.max_paths to guarantee "
+            "no haplotype is dropped",
+            s, t, max_paths, len(bubble.interior),
+        )
     return sorted(paths)

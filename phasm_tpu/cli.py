@@ -50,6 +50,9 @@ def cmd_simulate(args):
         mean_read_len=args.read_len,
         error_rate=args.error_rate,
         hotspots=args.hotspots,
+        hotspot_rate=args.hotspot_rate,
+        hotspot_width=args.hotspot_width,
+        read_len_spread=args.read_len_spread,
     )
     fasta.write_fasta(
         args.out, [(rs.names[i], rs.oriented_str(2 * i)) for i in range(rs.n_reads)]
@@ -137,9 +140,14 @@ def cmd_phase(args):
     from phasm_tpu.io import fasta, gfa
     from phasm_tpu.phasing import PhaseConfig, phase_all
 
-    g, _gfa_reads = gfa.read_gfa2(args.graph)
+    g, gfa_reads = gfa.read_gfa2(args.graph)
     rs = fasta.read_fasta(args.reads)
     ev = _load_alignments(args.alignments)
+    # GFA node ids are file positions (only edge-bearing reads serialize);
+    # remap them onto the FASTA read indices so phasing evidence and spelled
+    # sequences line up (ADVICE r1 high: this was silently wrong whenever
+    # layout dropped a read)
+    g = gfa.remap_node_ids(g, gfa_reads.names, rs)
 
     ug = merge_unambiguous_paths(g)
     bubbles = find_superbubbles(ug)
@@ -199,6 +207,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--read-len", type=int, default=5000)
     s.add_argument("--error-rate", type=float, default=0.05)
     s.add_argument("--hotspots", type=int, default=0)
+    s.add_argument("--hotspot-rate", type=float, default=0.05)
+    s.add_argument("--hotspot-width", type=int, default=1500)
+    s.add_argument("--read-len-spread", type=float, default=None)
     s.set_defaults(fn=cmd_simulate)
 
     s = sub.add_parser("overlap", help="all-vs-all overlap detection")

@@ -27,8 +27,20 @@ def _orient(oid: int) -> str:
     return "-" if (oid & 1) else "+"
 
 
+def _coord(x: int, seg_len: int) -> str:
+    """GFA2 position: trailing $ marks the end of the segment."""
+    return f"{x}$" if x == seg_len else str(x)
+
+
 def write_gfa2(path: str, g: StringGraph, reads: ReadSet, sequences: bool = True):
-    """Serialize a string graph; segments are reads (forward strand)."""
+    """Serialize a string graph; segments are reads (forward strand).
+
+    E-line intervals are on the FORWARD segment per the GFA2 spec (an
+    oriented-strand interval [b, e) maps to [L-e, L-b) for '-' references);
+    ADVICE r1 flagged the oriented-coordinate intervals round 1 wrote as
+    misleading external tools.  The el:i tag still carries the exact
+    appended-length for bit-exact reload.
+    """
     with open(path, "w") as fh:
         fh.write("H\tVN:Z:2.0\n")
         used = np.zeros(g.n_nodes // 2, dtype=bool)
@@ -43,12 +55,17 @@ def write_gfa2(path: str, g: StringGraph, reads: ReadSet, sequences: bool = True
             elen = int(g.elen[e])
             lu = int(g.node_len[u])
             lv = int(g.node_len[v])
-            # suffix of u overlaps prefix of v
+            # suffix of oriented-u overlaps prefix of oriented-v
             b1, e1 = lu - ovl, lu
             b2, e2 = 0, ovl
+            if u & 1:  # convert to forward-strand coordinates
+                b1, e1 = lu - e1, lu - b1
+            if v & 1:
+                b2, e2 = lv - e2, lv - b2
             fh.write(
                 f"E\t*\tr{u >> 1}{_orient(u)}\tr{v >> 1}{_orient(v)}\t"
-                f"{b1}\t{e1}$\t{b2}\t{e2}\t*\tel:i:{elen}\n"
+                f"{_coord(b1, lu)}\t{_coord(e1, lu)}\t"
+                f"{_coord(b2, lv)}\t{_coord(e2, lv)}\t*\tel:i:{elen}\n"
             )
 
 
@@ -86,6 +103,8 @@ def read_gfa2(path: str) -> tuple[StringGraph, ReadSet]:
         v = parse_ref(parts[3])
         b1 = int(parts[4].rstrip("$"))
         e1 = int(parts[5].rstrip("$"))
+        # intervals are forward-strand (GFA2 spec); overlap length is
+        # invariant under the '-' flip b,e -> L-e,L-b so no branch needed
         ovl = e1 - b1
         elen = None
         for tag in parts[9:]:
@@ -108,6 +127,39 @@ def read_gfa2(path: str) -> tuple[StringGraph, ReadSet]:
         node_len,
     )
     return g.canonicalize(), rs
+
+
+def remap_node_ids(g: StringGraph, seg_names: list[str], reads: ReadSet) -> StringGraph:
+    """Map a GFA graph's position-compacted node ids back onto `reads`.
+
+    write_gfa2 serializes only reads that appear in edges, so read_gfa2's
+    node ids are FILE POSITIONS, not the original read ids.  Pairing such a
+    graph directly with the full FASTA read set + alignment table (the CLI
+    phase stage) silently misaligns every node whenever layout dropped a
+    read — contained reads and clipped tips, i.e. nearly always (ADVICE r1
+    high).  Segments named ``r<k>`` map to read index k; any other name is
+    looked up in ``reads.names``.
+    """
+    name_to_idx = {n: i for i, n in enumerate(reads.names)}
+    m = np.zeros(len(seg_names), dtype=np.int64)
+    for i, s in enumerate(seg_names):
+        if s.startswith("r") and s[1:].isdigit():
+            k = int(s[1:])
+        elif s in name_to_idx:
+            k = name_to_idx[s]
+        else:
+            raise ValueError(f"cannot map GFA segment {s!r} onto the read set")
+        if not (0 <= k < reads.n_reads):
+            raise ValueError(
+                f"GFA segment {s!r} maps to read {k}, outside the "
+                f"{reads.n_reads}-read set"
+            )
+        m[i] = k
+    src = (2 * m[g.src >> 1] + (g.src & 1)).astype(np.int32)
+    dst = (2 * m[g.dst >> 1] + (g.dst & 1)).astype(np.int32)
+    node_len = np.repeat(reads.lengths.astype(np.int32), 2)
+    out = StringGraph(2 * reads.n_reads, src, dst, g.elen, g.ovl, node_len)
+    return out.canonicalize()
 
 
 def write_gfa2_unitigs(path: str, ug: UnitigGraph, reads: ReadSet):

@@ -28,13 +28,28 @@ import dataclasses
 
 import numpy as np
 
-# cost values never exceed jmax + W (< 2**15 for every bucket); BIG marks
-# "no alignment found".  PACK packs (cost, start-offset) into one int32:
-# P = cost * PACK + s_rel with s_rel in [0, W) and W <= 128.
+# Packed DP cell: P = cost * PACK + s_rel with s_rel in [0, W) and W <= 128.
+# Cell costs are CLAMPED to BIG = 2**15 every column (jnp.minimum(..., BIGP)),
+# so an alignment needing >= 32768 edits reports as "not found" — at the
+# engine's max_jmax of 131072 columns that is > 25 % divergence, far beyond
+# any accept threshold (OverlapConfig.max_diff_rate), so nothing real is
+# lost.  BIG / BIGP / BIGK are the respective no-result sentinels.
 BIG = np.int32(1 << 15)
 PACK = 128
 BIGP = np.int32((1 << 15) * PACK)  # packed no-result
 BIGK = np.int32(1 << 30)  # endpoint-key no-result
+
+
+_TRANSIENT_MARKERS = (
+    "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED",
+    "Socket closed", "Connection reset",
+)
+
+
+def is_transient_device_error(e: Exception) -> bool:
+    """True for axon-tunnel flakes worth retrying; False for real bugs
+    (shape errors, OOM, compile failures) which must surface immediately."""
+    return any(t in repr(e) for t in _TRANSIENT_MARKERS)
 
 
 @dataclasses.dataclass
@@ -314,6 +329,11 @@ def _make_pallas_extend(band: int, jmax: int, block_b: int = 128, interpret: boo
 
     W = band
     half = W // 2
+    # the cost<<16 | (s_rel + 2^15 - (j+1)) endpoint key underflows for
+    # j+1 > 2^15; the single-shot kernel is only built for short buckets
+    # (VMEM-bounded anyway) — the segmented kernel below carries unpacked
+    # registers and has no column limit
+    assert jmax < (1 << 15), "use _make_pallas_extend_seg for jmax >= 32768"
 
     def kernel(d0_ref, la_ref, lb_ref, a2_ref, b2_ref, out_ref):
         B = block_b
@@ -694,11 +714,21 @@ class DeviceExtender:
         )
         try:
             out = run(*args)
-        except Exception:  # transient tunnel FAILED_PRECONDITION: retry once
+        except Exception as e:
+            # transient tunnel flake (FAILED_PRECONDITION etc.): retry with
+            # backoff; anything else is a real bug and re-raises immediately
+            if not is_transient_device_error(e):
+                raise
             import time
 
-            time.sleep(2)
-            out = run(*args)
+            for delay in (2, 10, 30):
+                time.sleep(delay)
+                try:
+                    out = run(*args)
+                    break
+                except Exception as e2:
+                    if not is_transient_device_error(e2) or delay == 30:
+                        raise
         return out, M
 
     @staticmethod
@@ -757,9 +787,16 @@ def _make_pallas_extend_seg(band: int, seg: int, n_seg: int, block_b: int = 128,
             P_buf[:, :] = jnp.where(
                 (i_at_j0 >= 0) & (i_at_j0 <= la[None, :]), iota_w, BIGP
             ).astype(jnp.int32)
-            # regs rows: 0 = best_la, 1 = best_la_j, 2 = best_end (others pad);
-            # whole-tile I/O only — single-row memref loads crash Mosaic
-            regs_buf[:, :] = jnp.where(iota8 == 1, 0, BIGK).astype(jnp.int32)
+            # regs rows: 0 = best_la_cost, 1 = best_la_sm (s_rel - j_end,
+            # monotone in -align_len: may be NEGATIVE, hence unpacked),
+            # 2 = best_la_j, 3 = best_end (others pad); whole-tile I/O only —
+            # single-row memref loads crash Mosaic.  Unpacked registers (vs
+            # round 1's cost<<16 | (s_rel + 2^15 - j) key) because the packed
+            # low field underflows into the cost bits for j > 2^15 — reachable
+            # at max_jmax=131072 columns.
+            regs_buf[:, :] = jnp.where(
+                (iota8 == 0) | (iota8 == 3), BIGK, 0
+            ).astype(jnp.int32)
 
         def prefix_min(pre):
             x = pre - iota_w * STEP
@@ -772,7 +809,7 @@ def _make_pallas_extend_seg(band: int, seg: int, n_seg: int, block_b: int = 128,
             return x + iota_w * STEP
 
         def step(j, u, ablk, bblk, carry):
-            P, best_la, best_la_j, best_end = carry
+            P, best_la_cost, best_la_sm, best_la_j, best_end = carry
             aw = jax.lax.slice_in_dim(
                 pltpu.roll(ablk, shift=(W + 8 - u) % (W + 8), axis=0), 0, W, axis=0
             )
@@ -787,15 +824,26 @@ def _make_pallas_extend_seg(band: int, seg: int, n_seg: int, block_b: int = 128,
             valid = (i_cell >= 0) & (i_cell <= la[None, :]) & (j < lb)[None, :]
             Pn = jnp.minimum(jnp.where(valid, Pn, BIGP), BIGP)
 
+            # i == la endpoint (at most one band cell per column): reduce the
+            # column with a within-column pack (s_rel < 128 so no overflow),
+            # then compare UNPACKED against the running registers — cost asc,
+            # then sm = s_rel - j_end asc (== align_len desc), first column
+            # wins full ties (strict comparisons), matching the oracle.
             k_cell = ((Pn // PACK) << 16) + (Pn % PACK)
             k_la = jnp.min(
                 jnp.where((i_cell == la[None, :]) & (Pn < BIGP), k_cell, BIGK),
                 axis=0, keepdims=True,
             )
-            k_la = jnp.where(k_la < BIGK, k_la + ((1 << 15) - (j + 1)), BIGK)
-            upd = k_la < best_la
-            best_la = jnp.minimum(best_la, k_la)
-            best_la_j = jnp.where(upd, j + 1, best_la_j)
+            has = k_la < BIGK
+            c_la = k_la >> 16
+            sm_la = (k_la & 0xFFFF) - (j + 1)
+            better = has & (
+                (c_la < best_la_cost)
+                | ((c_la == best_la_cost) & (sm_la < best_la_sm))
+            )
+            best_la_cost = jnp.where(better, c_la, best_la_cost)
+            best_la_sm = jnp.where(better, sm_la, best_la_sm)
+            best_la_j = jnp.where(better, j + 1, best_la_j)
 
             k_end_cell = ((Pn // PACK) << 16) + (
                 (W - 1 + (Pn % PACK) - iota_w) << 7
@@ -805,7 +853,7 @@ def _make_pallas_extend_seg(band: int, seg: int, n_seg: int, block_b: int = 128,
             )
             at_end = ((j + 1) == lb)[None, :]
             best_end = jnp.where(at_end, jnp.minimum(best_end, k_end), best_end)
-            return (Pn, best_la, best_la_j, best_end)
+            return (Pn, best_la_cost, best_la_sm, best_la_j, best_end)
 
         def outer(t, carry):
             off = pl.multiple_of(t * 8, 8)
@@ -822,13 +870,15 @@ def _make_pallas_extend_seg(band: int, seg: int, n_seg: int, block_b: int = 128,
             jax.lax.slice_in_dim(regs, 0, 1, axis=0),
             jax.lax.slice_in_dim(regs, 1, 2, axis=0),
             jax.lax.slice_in_dim(regs, 2, 3, axis=0),
+            jax.lax.slice_in_dim(regs, 3, 4, axis=0),
         )
-        P, best_la, best_la_j, best_end = jax.lax.fori_loop(
+        P, best_la_cost, best_la_sm, best_la_j, best_end = jax.lax.fori_loop(
             0, seg // 8, outer, carry0
         )
         P_buf[:, :] = P
         regs_buf[:, :] = jnp.concatenate(
-            [best_la, best_la_j, best_end, jnp.zeros((5, B), jnp.int32)], axis=0
+            [best_la_cost, best_la_sm, best_la_j, best_end,
+             jnp.zeros((4, B), jnp.int32)], axis=0
         )
 
         @pl.when(s == n_seg - 1)
@@ -837,11 +887,11 @@ def _make_pallas_extend_seg(band: int, seg: int, n_seg: int, block_b: int = 128,
             la2 = la[None, :]
             lb2 = lb[None, :]
             d02 = d0[None, :]
-            cost_la = best_la >> 16
-            s_la = (best_la & 0xFFFF) - (1 << 15) + best_la_j
+            cost_la = best_la_cost
+            s_la = best_la_sm + best_la_j  # s_rel of the winning la-hit
             i0_la = s_la + base2
             alen_la = la2 - i0_la + best_la_j
-            has_la = best_la < BIGK
+            has_la = best_la_cost < BIGK
 
             cost_be = best_end >> 16
             w_be = best_end & 127

@@ -35,14 +35,18 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import logging
 import math
 
 import numpy as np
 
+from phasm_tpu import metrics
 from phasm_tpu.alignments import AlignmentTable
 from phasm_tpu.bubbles import BubbleChain, enumerate_paths
 from phasm_tpu.graph.unitigs import UnitigGraph
 from phasm_tpu.reads import ReadSet
+
+log = logging.getLogger("phasm_tpu.phasing")
 
 
 @dataclasses.dataclass
@@ -283,6 +287,13 @@ def phase_chain(
         if P**k <= cfg.max_extensions:
             A = np.array(list(itertools.product(range(P), repeat=k)), dtype=np.int32)
         else:
+            # unordered multisets lose only the (phenotypically irrelevant)
+            # haplotype labelling order — but count it, never silently
+            metrics.incr("phasing.extensions_cwr_fallback")
+            log.warning(
+                "bubble %d: %d^%d extensions exceed max_extensions=%d; "
+                "falling back to unordered multisets", i, P, k, cfg.max_extensions,
+            )
             A = np.array(
                 list(itertools.combinations_with_replacement(range(P), k)),
                 dtype=np.int32,
@@ -316,6 +327,19 @@ def phase_chain(
         flat = total.ravel()
         thresh = best + math.log(cfg.prune_factor)
         order = np.lexsort((np.arange(flat.shape[0]), -flat))
+        n_above = int((flat >= thresh).sum())
+        if n_above > cfg.max_candidates:
+            # the frontier cap dropped candidates the reference's prune rule
+            # would have kept — count + warn (SURVEY.md §8.3 item 2)
+            metrics.incr("phasing.candidates_truncated")
+            metrics.incr(
+                "phasing.candidates_dropped_above_threshold",
+                n_above - cfg.max_candidates,
+            )
+            log.warning(
+                "bubble %d: %d candidates above prune threshold, frontier "
+                "capped at max_candidates=%d", i, n_above, cfg.max_candidates,
+            )
         keep = [j for j in order[: cfg.max_candidates] if flat[j] >= thresh]
         if not keep:
             keep = [int(order[0])]

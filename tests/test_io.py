@@ -131,6 +131,76 @@ def test_cli_stage_pipeline(tmp_path):
     assert g.n_edges > 0
 
 
+def test_cli_phase_content_matches_in_memory(tmp_path):
+    """Staged phase (through the GFA2 file) must produce the SAME haplotigs
+    as the identical calls run in memory.  Regression for ADVICE r1 high:
+    read_gfa2 node ids are file positions (only edge-bearing reads
+    serialize), and cmd_phase paired them with original-id evidence — wrong
+    whenever layout dropped a read (contained reads, i.e. nearly always)."""
+    from phasm_tpu import cli, dna
+    from phasm_tpu.bubbles import build_chains, find_superbubbles
+    from phasm_tpu.filter import (
+        FilterChain, MaxErrorRate, MinOverlapLength, MinReadLength,
+        ProperOverlapsOnly,
+    )
+    from phasm_tpu.graph import (
+        build_string_graph, merge_unambiguous_paths, remove_tips,
+        remove_transitive_edges,
+    )
+    from phasm_tpu.io import fasta
+    from phasm_tpu.phasing import PhaseConfig, phase_all
+
+    d = str(tmp_path)
+    cli.main(
+        f"simulate --out {d}/r.fa --seed 9 --genome-len 20000 --ploidy 2 "
+        f"--coverage 14 --read-len 2500 --error-rate 0.03 --hotspots 2 "
+        f"--hotspot-rate 0.15 --hotspot-width 2000 --read-len-spread 0.2".split()
+    )
+    cli.main(f"overlap {d}/r.fa --out {d}/a.npz --backend jnp".split())
+    cli.main(
+        f"filter {d}/r.fa {d}/a.npz --out {d}/f.npz "
+        f"--min-read-length 500 --min-overlap-length 400 --max-error-rate 0.10".split()
+    )
+    cli.main(f"layout {d}/r.fa {d}/f.npz --out {d}/g.gfa2 --length-fuzz 400".split())
+    cli.main(f"phase {d}/r.fa {d}/g.gfa2 {d}/a.npz --out {d}/h.fa".split())
+
+    # in-memory replica of the same stages
+    rs = fasta.read_fasta(f"{d}/r.fa")
+    t = daligner.load_table_npz(f"{d}/a.npz")
+    chain = FilterChain(
+        [MinReadLength(500), MinOverlapLength(400), MaxErrorRate(0.10),
+         ProperOverlapsOnly()],
+        max_overhang_abs=1000, max_overhang_ratio=0.8,
+    )
+    ft, _, _ = chain.apply(t, rs.lengths)
+    types = ft.classify(rs.lengths)
+    g_mem = build_string_graph(ft, types, rs.lengths)
+    g_mem = remove_transitive_edges(g_mem, fuzz=400)
+    g_mem, _ = remove_tips(g_mem, max_tip_len=4)
+
+    # the fixture must exercise compaction: some read must carry no edge
+    used = np.zeros(rs.n_reads, dtype=bool)
+    used[np.concatenate([g_mem.src, g_mem.dst]) >> 1] = True
+    assert not used.all(), "fixture too easy: every read kept an edge"
+
+    # staged graph, remapped, must equal the in-memory graph exactly
+    g_file, gfa_reads = gfa.read_gfa2(f"{d}/g.gfa2")
+    g_remap = gfa.remap_node_ids(g_file, gfa_reads.names, rs)
+    assert np.array_equal(g_remap.src, g_mem.src)
+    assert np.array_equal(g_remap.dst, g_mem.dst)
+    assert np.array_equal(g_remap.elen, g_mem.elen)
+    assert np.array_equal(g_remap.ovl, g_mem.ovl)
+
+    # staged haplotigs must equal in-memory haplotigs
+    ug = merge_unambiguous_paths(g_mem)
+    chains = build_chains(ug, find_superbubbles(ug))
+    results = phase_all(ug, rs, t, chains, PhaseConfig(ploidy=2, prune_factor=0.01))
+    want = [dna.decode(seq) for r in results for seq in r.haplotigs]
+    got = [s for _, s in fasta.iter_fasta(f"{d}/h.fa")]
+    assert got == want
+    assert len(want) >= 2, "diploid fixture should yield >= 2 haplotigs"
+
+
 def test_write_paf(tmp_path):
     t = AlignmentTable.from_rows(
         [

@@ -184,3 +184,62 @@ def test_segmented_kernel_matches_plain_interpret():
     assert np.array_equal(out[1], want.a_start)
     assert np.array_equal(out[2], want.a_end)
     assert np.array_equal(out[3], want.b_end)
+
+
+def test_segmented_kernel_long_columns_past_32768():
+    """Regression: round 1 packed the i==la endpoint as cost<<16 | (s_rel +
+    2^15 - j_end); for j_end > 32768 the low field underflowed into the cost
+    bits, corrupting long dovetails (ADVICE r1).  The register-carried fix
+    must match the jnp DP oracle with the winning endpoint past column 2^15."""
+    import numpy as np
+    from phasm_tpu.overlap.extend import (
+        _make_pallas_extend_seg,
+        banded_overlap_batch,
+        prepare_pair_tensors,
+    )
+
+    rng = np.random.default_rng(11)
+    W, SEG, NSEG = 16, 4096, 9  # 36864 columns > 2^15
+    cols = SEG * NSEG
+    d0v = 900
+    la, lb = 33940, 33400  # la-endpoint at j = la - d0 ± band ≈ 33040 > 32768
+    g = rng.integers(0, 4, 36000).astype(np.uint8)
+    a = g[:la].copy()
+    b = g[d0v : d0v + lb].copy()
+    noise = rng.random(lb) < 0.05
+    b = np.where(noise, (b + rng.integers(1, 4, lb)) % 4, b).astype(np.uint8)
+    oriented = np.zeros((4, cols), dtype=np.uint8)
+    oriented[0, :la] = a
+    oriented[2, :lb] = b
+    lengths = np.array([la, lb], dtype=np.int32)
+    M = 128
+    a_oid = np.zeros(M, dtype=np.int64)
+    b_oid = np.full(M, 2, dtype=np.int64)
+    d0 = np.full(M, d0v, dtype=np.int32)
+
+    want = banded_overlap_batch(
+        oriented, lengths, a_oid, b_oid, d0, band=W, jmax=cols
+    )
+    assert int(want.a_end[0]) == la and int(want.b_end[0]) > 32768, "fixture"
+    assert 0 < int(want.diffs[0]) < (1 << 15), "fixture must not saturate"
+
+    _, b2, laa, lbb = prepare_pair_tensors(
+        oriented, lengths, a_oid, b_oid, d0, W, cols
+    )
+    tt = np.arange(NSEG * (SEG + W))
+    ai = d0[:, None] + (tt // (SEG + W))[None, :] * SEG + (tt % (SEG + W))[None, :] - W // 2
+    a_rows = oriented[a_oid]
+    a_ok = (ai >= 0) & (ai < laa[:, None])
+    a2s = np.where(a_ok, a_rows[np.arange(M)[:, None], np.clip(ai, 0, cols - 1)], 254)
+    run = _make_pallas_extend_seg(W, SEG, NSEG, 128, interpret=True)
+    out = np.asarray(
+        run(
+            d0.astype(np.int32)[None, :], laa[None, :], lbb[None, :],
+            np.ascontiguousarray(a2s.T).astype(np.int32),
+            np.ascontiguousarray(b2.T).astype(np.int32),
+        )
+    )
+    assert np.array_equal(out[0], want.diffs)
+    assert np.array_equal(out[1], want.a_start)
+    assert np.array_equal(out[2], want.a_end)
+    assert np.array_equal(out[3], want.b_end)

@@ -173,6 +173,38 @@ def test_ploidy3_parallel():
     assert ok_fwd or ok_rc, chosen
 
 
+def test_many_arm_bubble_cap_counted_and_recoverable():
+    """SURVEY.md §8.3 item 2: the max_paths cap must never SILENTLY lose a
+    haplotype.  An 18-arm bubble at the default cap (16) must increment the
+    truncation counter; with the cap raised, all 18 paths enumerate and the
+    linked arms still win the DP."""
+    from phasm_tpu import metrics
+    from phasm_tpu.bubbles import enumerate_paths
+
+    ug, reads, aln, ids = chain_fixture(n_arms=18, link="parallel")
+    bubbles = find_superbubbles(ug)
+    b = next(bb for bb in bubbles if bb.entrance == ids["A"])
+
+    metrics.reset()
+    p16 = enumerate_paths(ug, b, max_paths=16)
+    assert len(p16) == 16
+    assert metrics.report()["counters"].get("phasing.paths_truncated", 0) == 1
+
+    p32 = enumerate_paths(ug, b, max_paths=32)
+    assert len(p32) == 18
+
+    metrics.reset()
+    res = phase_fixture(ug, reads, aln, k=2, max_paths=32)
+    assert metrics.report()["counters"].get("phasing.paths_truncated", 0) == 0
+    pairs = set((p[1], p[3]) for p in res.haplotype_paths)
+    B, D = ids["B"], ids["D"]
+    rcB = [int(ug.rc[x]) for x in B]
+    rcD = [int(ug.rc[x]) for x in D]
+    ok_fwd = pairs == {(B[0], D[0]), (B[1], D[1])}
+    ok_rc = pairs == {(rcD[0], rcB[0]), (rcD[1], rcB[1])}
+    assert ok_fwd or ok_rc, pairs
+
+
 def test_read_assignment_follows_linkage():
     ug, reads, aln, ids = chain_fixture(link="parallel")
     res = phase_fixture(ug, reads, aln)
