@@ -65,15 +65,25 @@ class AlignmentTable:
     b_start: np.ndarray
     b_end: np.ndarray
     diffs: np.ndarray
+    # optional windowed-divergence statistic (overlap/extend.py WINDOW probe):
+    # max edits forced in any fully-interior 256-column span.  Unlike
+    # whole-overlap error it cannot be DILUTED by long identical flanks, so
+    # downstream policy (window filter, containment gating, same-locus arm
+    # classification) keys on it.  None when the producer didn't measure it
+    # (hand-built tables, legacy npz checkpoints).
+    win: np.ndarray | None = None
 
     def __post_init__(self):
         for f in _FIELDS:
             setattr(self, f, np.asarray(getattr(self, f), dtype=np.int32))
+        if self.win is not None:
+            self.win = np.asarray(self.win, dtype=np.int32)
+            assert self.win.shape == self.a_id.shape
 
     @classmethod
     def empty(cls) -> "AlignmentTable":
         z = np.zeros(0, dtype=np.int32)
-        return cls(z, z, z, z, z, z, z, z)
+        return cls(z, z, z, z, z, z, z, z, win=z)
 
     @classmethod
     def from_rows(cls, rows) -> "AlignmentTable":
@@ -85,11 +95,18 @@ class AlignmentTable:
         return int(self.a_id.shape[0])
 
     def take(self, mask_or_idx: np.ndarray) -> "AlignmentTable":
-        return AlignmentTable(*(getattr(self, f)[mask_or_idx] for f in _FIELDS))
+        return AlignmentTable(
+            *(getattr(self, f)[mask_or_idx] for f in _FIELDS),
+            win=None if self.win is None else self.win[mask_or_idx],
+        )
 
     def concat(self, other: "AlignmentTable") -> "AlignmentTable":
+        win = None
+        if self.win is not None and other.win is not None:
+            win = np.concatenate([self.win, other.win])
         return AlignmentTable(
-            *(np.concatenate([getattr(self, f), getattr(other, f)]) for f in _FIELDS)
+            *(np.concatenate([getattr(self, f), getattr(other, f)]) for f in _FIELDS),
+            win=win,
         )
 
     def as_matrix(self) -> np.ndarray:
@@ -100,9 +117,13 @@ class AlignmentTable:
 
         Every merge/dedup in the framework sorts canonically first so results
         are identical regardless of shard layout (SURVEY.md §8.1 determinism
-        discipline).
+        discipline).  ``win`` participates as the least-significant key so
+        rows identical in the 8 core fields still order deterministically.
         """
-        order = np.lexsort(tuple(getattr(self, f) for f in reversed(_FIELDS)))
+        keys = tuple(getattr(self, f) for f in reversed(_FIELDS))
+        if self.win is not None:
+            keys = (self.win,) + keys
+        order = np.lexsort(keys)
         return self.take(order)
 
     def dedup(self) -> "AlignmentTable":

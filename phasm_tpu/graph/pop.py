@@ -70,26 +70,51 @@ def pop_error_bubbles(
     Returns (graph, removed_reads_mask).
     """
     from phasm_tpu.bubbles import superbubble_from  # deferred: avoids cycle
+    from phasm_tpu.overlap.extend import WINDOW  # numpy-only module
 
-    # read-pair -> min alignment error (for the similarity rule)
+    # read-pair -> min alignment error + max windowed-divergence statistic
+    # (for the similarity rule)
     pair_err: dict[tuple[int, int], float] = {}
+    pair_win: dict[tuple[int, int], int] = {}
     if aln is not None and e_read is not None and len(aln):
         errs = aln.diffs / np.maximum(aln.overlap_length(), 1)
-        for a, b, e in zip(aln.a_id.tolist(), aln.b_id.tolist(), errs.tolist()):
+        wins = aln.win.tolist() if aln.win is not None else [0] * len(aln)
+        for a, b, e, w in zip(
+            aln.a_id.tolist(), aln.b_id.tolist(), errs.tolist(), wins
+        ):
             k = (a, b) if a < b else (b, a)
             if e < pair_err.get(k, np.inf):
                 pair_err[k] = e
+            if w > pair_win.get(k, -1):
+                pair_win[k] = w
 
     def arms_same_locus(reads1: set[int], reads2: set[int]) -> bool:
+        """Same-locus iff >= 1 cross-arm pair aligns within its joint error
+        expectation AND NO cross-arm pair shows windowed-divergence excess.
+
+        The veto clause is what protects het arms: a cross-haplotype arm
+        pair always contains SOME read pair whose overlap spans divergent
+        sites (arm membership requires covering them), and that pair's
+        window statistic blows its Poisson expectation even when its
+        whole-overlap error is diluted by identical flanks.  Requires the
+        caller to pass the FULL alignment table (window-suspect rows
+        included) — the engine annotates rather than rejects for exactly
+        this reason.
+        """
         if not pair_err:
             return False
+        support = False
         for r1 in reads1:
             for r2 in reads2:
                 k = (r1, r2) if r1 < r2 else (r2, r1)
+                if k in pair_win:
+                    mu = (e_read[r1] + e_read[r2]) * WINDOW
+                    if pair_win[k] > mu + max(6.0 * np.sqrt(mu), 12.0):
+                        return False
                 e = pair_err.get(k, np.inf)
                 if e <= (e_read[r1] + e_read[r2]) * factor + margin:
-                    return True
-        return False
+                    support = True
+        return support
 
     removed = np.zeros(g.n_nodes // 2, dtype=bool)
     for _ in range(max_rounds):

@@ -98,13 +98,23 @@ def write_ladump(path: str, t: AlignmentTable) -> None:
 
 
 def save_table_npz(path: str, t: AlignmentTable) -> None:
-    """Native checkpoint format for alignment tables (stage boundary file)."""
-    np.savez_compressed(path, matrix=t.as_matrix())
+    """Native checkpoint format for alignment tables (stage boundary file).
+
+    The optional windowed-divergence column rides along so a resumed
+    pipeline keeps its filtering/containment/arm-classification policy
+    (filter.window_excess_mask) intact.
+    """
+    if t.win is not None:
+        np.savez_compressed(path, matrix=t.as_matrix(), win=t.win)
+    else:
+        np.savez_compressed(path, matrix=t.as_matrix())
 
 
 def load_table_npz(path: str) -> AlignmentTable:
-    m = np.load(path)["matrix"]
-    return AlignmentTable(*(m[:, i] for i in range(8)))
+    d = np.load(path)
+    m = d["matrix"]
+    win = d["win"] if "win" in d.files else None
+    return AlignmentTable(*(m[:, i] for i in range(8)), win=win)
 
 
 def write_paf(path: str, t: AlignmentTable, lengths: np.ndarray, names=None) -> None:

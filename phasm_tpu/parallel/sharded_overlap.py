@@ -31,14 +31,14 @@ from phasm_tpu.overlap.extend import dp_core
 def sharded_extend_step(mesh: Mesh, band: int = 64, axis: str = "dp"):
     """Build the jitted data-parallel extension step for a mesh.
 
-    Returns fn(a2, b2, la, lb, d0) -> [M, 4] int32 (cost, i0, a_end, b_end),
-    replicated on every device.  M must divide evenly by mesh size (pad pair
-    batches to a multiple of the dp axis).
+    Returns fn(a2, b2, la, lb, d0) -> [M, 5] int32 (cost, i0, a_end, b_end,
+    window_cost), replicated on every device.  M must divide evenly by mesh
+    size (pad pair batches to a multiple of the dp axis).
     """
 
     def local(a2, b2, la, lb, d0):
-        c, i0, ie, je = dp_core(a2, b2, la, lb, d0, band)
-        out = jnp.stack([c, i0, ie, je], axis=1)
+        c, i0, ie, je, wn = dp_core(a2, b2, la, lb, d0, band)
+        out = jnp.stack([c, i0, ie, je, wn], axis=1)
         return jax.lax.all_gather(out, axis, axis=0, tiled=True)
 
     sm = shard_map(

@@ -89,9 +89,12 @@ def test_noisy_haploid_bubbles_disappear():
     assert after < before, (before, after)
 
 
-def test_adaptive_filter_improves_allele_purity():
-    """Adaptive per-pair error filter: diploid haplotig allele purity must
-    beat the global-threshold baseline (the round-1 purity booster)."""
+def test_window_filter_improves_allele_purity():
+    """Windowed-divergence policy (the round-2 purity mechanism): diploid
+    haplotig allele purity with the window filter must beat the pure
+    global-threshold baseline.  (Supersedes the round-1 AdaptiveErrorRate
+    comparison: whole-overlap adaptive thresholds are flank-diluted, the
+    window statistic is not — see filter.window_excess_mask.)"""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -135,18 +138,18 @@ def test_adaptive_filter_improves_allele_purity():
     base_cfg = PipelineConfig(
         min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
         evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
+        window_filter=False,
     )
-    adaptive_cfg = PipelineConfig(
+    win_cfg = PipelineConfig(
         min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
         evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
-        adaptive_error=True,
     )
     p_base = purity(assemble(rs, t, base_cfg))
-    p_adapt = purity(assemble(rs, t, adaptive_cfg))
-    assert p_adapt, "adaptive run produced no measurable haplotigs"
-    assert np.mean(p_adapt) > np.mean(p_base) + 0.05, (p_base, p_adapt)
-    # regression floor (typical runs land 0.68-0.85; baseline is ~0.55)
-    assert np.mean(p_adapt) >= 0.65, p_adapt
+    p_win = purity(assemble(rs, t, win_cfg))
+    assert p_win, "windowed run produced no measurable haplotigs"
+    assert np.mean(p_win) > np.mean(p_base) + 0.05, (p_base, p_win)
+    # regression floor (measured 0.73-0.90 at round 2; baseline ~0.55-0.70)
+    assert np.mean(p_win) >= 0.70, p_win
 
 
 def test_consensus_polish_improves_accuracy():
