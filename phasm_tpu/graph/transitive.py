@@ -90,34 +90,63 @@ def _get_jit_reduce():
     return _jit_reduce
 
 
+def _pow2(n: int, lo: int) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
 def reduce_mask_jax(g: StringGraph, fuzz: int) -> np.ndarray:
     """Same rule as :func:`reduce_mask_np`, as a jit-compiled jnp program.
 
-    Shapes are static for a given (n_edges, D, n_nodes); the jit cache is
-    keyed on them (fuzz is a traced scalar, so changing it never recompiles).
-    Used by the device pipeline; the numpy version is the oracle cross-check.
+    Edge count and node count are padded to powers of two (and out-degree to
+    a multiple of 8), so the jit variant set stays finite across datasets —
+    the same bucketing discipline as the extension kernels (fuzz is a traced
+    scalar, so changing it never recompiles).  The numpy version is the
+    oracle cross-check.
     """
     if g.n_edges == 0:
         return np.zeros(0, dtype=bool)
     nbr, nel, valid = _padded_adjacency(g, pad_to=8)
-    keys = g.edge_key()
-    out = _get_jit_reduce()(
-        g.src.astype(np.int64),
-        g.dst.astype(np.int64),
-        g.elen.astype(np.int64),
-        keys,
-        g.elen.astype(np.int64),
-        nbr,
-        nel,
-        valid,
-        np.int64(fuzz),
+    E, N = g.n_edges, g.n_nodes
+    Ep, Np = _pow2(E, 256), _pow2(N, 256)
+    if Np != N:
+        nbr = np.pad(nbr, ((0, Np - N), (0, 0)), constant_values=-1)
+        nel = np.pad(nel, ((0, Np - N), (0, 0)))
+        valid = np.pad(valid, ((0, Np - N), (0, 0)))
+    src = np.pad(g.src.astype(np.int64), (0, Ep - E))
+    dst = np.pad(g.dst.astype(np.int64), (0, Ep - E))
+    elen = np.pad(g.elen.astype(np.int64), (0, Ep - E))
+    # keys must use the PADDED node count (q below multiplies by nbr.shape[0]);
+    # canonical (src, dst) order keeps them sorted for any multiplier.  Keys
+    # go through jax as int32 (x64 is disabled), so Np*Np must fit — callers
+    # with bigger graphs route through the numpy impl.  Pad by REPEATING the
+    # last real key: the array stays sorted (an above-everything sentinel
+    # would truncate to garbage in int32) and searchsorted's side='left'
+    # still resolves every real key to its first real position.
+    assert Np <= 46_340, "int32 key space exceeded; use impl='np'"
+    keys = np.pad(
+        g.src.astype(np.int64) * Np + g.dst.astype(np.int64),
+        (0, Ep - E), mode="edge",
     )
-    return np.asarray(out)
+    out = _get_jit_reduce()(
+        src, dst, elen, keys, elen, nbr, nel, valid, np.int64(fuzz)
+    )
+    return np.asarray(out)[:E]
 
 
 def remove_transitive_edges(
     g: StringGraph, fuzz: int = 1000, impl: str = "np"
 ) -> StringGraph:
-    """Drop transitive edges (ref: remove_transitive_edges(g, length_fuzz))."""
+    """Drop transitive edges (ref: remove_transitive_edges(g, length_fuzz)).
+
+    impl: "np" | "jax" | "auto" — auto routes large graphs through the jit
+    edge-tensor pass (the vectorized device path) and keeps tiny graphs on
+    the numpy oracle, where host latency wins.
+    """
+    if impl == "auto":
+        fits_i32 = _pow2(g.n_nodes, 256) <= 46_340
+        impl = "jax" if (g.n_edges >= 4096 and fits_i32) else "np"
     mask = reduce_mask_np(g, fuzz) if impl == "np" else reduce_mask_jax(g, fuzz)
     return g.take_edges(~mask)

@@ -73,6 +73,13 @@ class ChainPhaseResult:
     score: float
     n_candidates_final: int
     read_assignment: dict[int, list[int]]  # read -> consistent haplotype ids
+    # bubble indices i whose gap to bubble i-1 has NO spanning read evidence:
+    # the relative phase across such a gap is arbitrary (a coverage-model
+    # tie-break, not data), so emitting one joined haplotig would fabricate
+    # linkage.  Callers split haplotigs here — standard phase-block
+    # semantics (the reference joins unconditionally; measured phase-switch
+    # chimerism up to 25% per haplotig on unlinkable sims).
+    phase_breaks: list[int] = dataclasses.field(default_factory=list)
 
 
 # ----------------------------------------------------------------------------
@@ -257,6 +264,7 @@ def phase_chain(
     scores = np.zeros(1, dtype=np.float64)
     active_reads: list[int] = []
     B = np.ones((1, 0, k), dtype=bool)
+    acted: dict[int, list[int]] = {}  # read -> bubbles where it constrained
 
     score_step = _get_jit_score()
 
@@ -281,6 +289,7 @@ def phase_chain(
                 M[ri, :] = True  # no constraint at this bubble
                 continue
             act[ri] = True
+            acted.setdefault(r, []).append(i)
             M[ri, :] = consistent_paths(rel, pairsets[i], cfg.margin_abs, cfg.margin_rel)
 
         # extensions: ordered assignments; CWR fallback when P^k too large
@@ -419,6 +428,17 @@ def phase_chain(
                 cons.append(m)
         assignment[r] = cons
 
+    # phase breaks: gap before bubble i is linked iff some read constrains a
+    # bubble <= i-1 AND a bubble >= i (transitive spans count)
+    phase_breaks = []
+    for i in range(1, n_b):
+        linked = any(
+            bs[0] <= i - 1 and bs[-1] >= i for bs in acted.values() if bs
+        )
+        if not linked:
+            phase_breaks.append(i)
+            metrics.incr("phasing.phase_breaks")
+
     return ChainPhaseResult(
         chain=chain,
         haplotype_paths=hap_paths,
@@ -427,6 +447,7 @@ def phase_chain(
         score=float(scores[best_i]),
         n_candidates_final=len(candidates),
         read_assignment=assignment,
+        phase_breaks=phase_breaks,
     )
 
 

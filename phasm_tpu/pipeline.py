@@ -47,16 +47,31 @@ class PipelineConfig:
     adaptive_error: bool = False  # per-pair adaptive divergence filter
     adaptive_factor: float = 1.25
     adaptive_margin: float = 0.01
+    # windowed-divergence policy (filter.window_excess_mask): drop
+    # cross-haplotype dovetails from edge building and bar window-suspect
+    # containments from marking reads contained.  No-op when the alignment
+    # table carries no win column.
+    window_filter: bool = True
+    window_z: float = 6.0
+    window_min_excess: float = 12.0
+    best_end: bool = False  # relative-best edge selection per read end
+    # (off by default: the engine's windowed-divergence filter is the
+    # primary cross-haplotype edge killer; best_end thins anchor braids
+    # too aggressively on high-identity regions)
+    best_end_margin_abs: float = 0.01
+    best_end_margin_rel: float = 0.15
     max_overhang_abs: int = 1000
     max_overhang_ratio: float = 0.8
     # stage 2 (layout)
     length_fuzz: int = 1000
+    transitive_impl: str = "auto"  # np | jax | auto (jit pass for big graphs)
     max_tip_len: int = 4
     pop_bubbles: bool = True  # pop error bubbles (weak arm <= N reads)
     pop_max_weak_reads: int = 2
     pop_dominance: float = 5.0
     # stage 3 (phase)
     phase: PhaseConfig = dataclasses.field(default_factory=PhaseConfig)
+    split_phase_blocks: bool = True  # split haplotigs at unlinked bubble gaps
     # evidence: keep alignments below this error for phasing support
     evidence_max_error: float = 0.3
     # consensus polish (pileup voting over member reads; C++ host kernel)
@@ -112,10 +127,21 @@ def assemble(
     ]
     if cfg.adaptive_error:
         filters.insert(2, AdaptiveErrorRate(cfg.adaptive_factor, cfg.adaptive_margin))
+    post = []
+    if cfg.best_end:
+        from phasm_tpu.filter import RelativeBestEnd
+
+        post.append(
+            RelativeBestEnd(cfg.best_end_margin_abs, cfg.best_end_margin_rel)
+        )
     chain = FilterChain(
         filters,
         max_overhang_abs=cfg.max_overhang_abs,
         max_overhang_ratio=cfg.max_overhang_ratio,
+        window_filter=cfg.window_filter,
+        window_z=cfg.window_z,
+        window_min_excess=cfg.window_min_excess,
+        post_filters=post,
     )
     with metrics.stage("pipeline.filter", alignments=len(alignments)):
         ft, types, contained = chain.apply(alignments, reads.lengths)
@@ -126,7 +152,7 @@ def assemble(
     with metrics.stage("pipeline.layout"):
         g = build_string_graph(ft, types, reads.lengths)
         stats["edges_initial"] = g.n_edges
-        g = remove_transitive_edges(g, fuzz=cfg.length_fuzz)
+        g = remove_transitive_edges(g, fuzz=cfg.length_fuzz, impl=cfg.transitive_impl)
         stats["edges_after_reduction"] = g.n_edges
         g, removed = remove_tips(g, max_tip_len=cfg.max_tip_len)
         if cfg.pop_bubbles:
@@ -147,7 +173,11 @@ def assemble(
     stats["n_unitigs"] = ug.n_nodes
 
     # ---- stage 3: phase (ref: phasm phase) ------------------------------
-    bubbles = find_superbubbles(ug)
+    # linear-time Brankovic finder (bubbles_linear) is the production path;
+    # the per-entrance Onodera search (find_superbubbles) is its oracle
+    from phasm_tpu.bubbles_linear import find_superbubbles_linear
+
+    bubbles = find_superbubbles_linear(ug)
     chains = build_chains(ug, bubbles)
     stats["n_bubbles"] = len(bubbles)
     stats["n_chains"] = len(chains)
@@ -182,12 +212,44 @@ def assemble(
     for ci, r in enumerate(results):
         for m, seq in enumerate(r.haplotigs):
             nodes = r.haplotype_paths[m]
-            elens = [
-                elen_lookup[(nodes[j], nodes[j + 1])]
-                for j in range(len(nodes) - 1)
-            ]
-            mems, offs = ug.walk_members(nodes, elens)
-            haplotigs.append((f"haplotig_c{ci}_h{m}", _polish(seq, mems, offs)))
+            # split at phase breaks: joining bubbles with no spanning read
+            # evidence fabricates linkage (phase-switch chimerism); each
+            # segment is one phase block, anchors shared between segments
+            segs = [nodes]
+            if cfg.split_phase_blocks and r.phase_breaks:
+                split_at = [
+                    nodes.index(r.chain.bubbles[bi].entrance)
+                    for bi in r.phase_breaks
+                ]
+                starts = [0] + split_at
+                ends = split_at + [len(nodes) - 1]
+                segs = [nodes[s0 : e0 + 1] for s0, e0 in zip(starts, ends)]
+            for si, seg_nodes in enumerate(segs):
+                elens = [
+                    elen_lookup[(seg_nodes[j], seg_nodes[j + 1])]
+                    for j in range(len(seg_nodes) - 1)
+                ]
+                seg_seq = (
+                    seq if len(segs) == 1
+                    else ug.spell_path(seg_nodes, elens, reads)
+                )
+                mems, offs = ug.walk_members(seg_nodes, elens)
+                # haplotype-pure polish: exclude reads the phaser assigned
+                # to a DIFFERENT haplotype — anchor unitigs carry both
+                # haplotypes' reads, and letting them vote flips het alleles
+                # toward 50/50 (a round-1 purity killer).  Unassigned reads
+                # (anchor-only) stay: at their sites the haplotypes agree.
+                assign = r.read_assignment
+                keep = [
+                    k for k, mm in enumerate(mems)
+                    if (mm >> 1) not in assign or m in assign[mm >> 1]
+                ]
+                mems = [mems[k] for k in keep]
+                offs = [offs[k] for k in keep]
+                name = f"haplotig_c{ci}_h{m}" + (
+                    f"_b{si}" if len(segs) > 1 else ""
+                )
+                haplotigs.append((name, _polish(seg_seq, mems, offs)))
         for nodes in r.haplotype_paths:
             chain_nodes.update(nodes)
             chain_nodes.update(int(ug.rc[n]) for n in nodes)

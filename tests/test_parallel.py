@@ -29,11 +29,32 @@ def test_sharded_extend_matches_single_device():
     mesh = make_mesh()
     run = sharded_extend_step(mesh, band=W)
     out = run(a2, b2, la, lb, d0.astype(np.int32))
-    assert out.shape == (M, 4)
+    assert out.shape == (M, 5)
     assert np.array_equal(out[:, 0], want.diffs)
     assert np.array_equal(out[:, 1], want.a_start)
     assert np.array_equal(out[:, 2], want.a_end)
     assert np.array_equal(out[:, 3], want.b_end)
+    assert np.array_equal(out[:, 4], want.win_cost)
+
+
+def test_engine_on_mesh_matches_single_device():
+    """PRODUCTION path on a mesh: overlap_reads(mesh=) must produce a
+    bit-identical AlignmentTable to the unsharded run (VERDICT r1 #6: the
+    shard_map step existed but the engine never used it)."""
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.sim import simulate_reads
+
+    rs, _ = simulate_reads(
+        seed=5, genome_len=12_000, ploidy=1, coverage=10, mean_read_len=2500,
+        error_rate=0.05, read_len_spread=0.2,
+    )
+    cfg = OverlapConfig()
+    t1 = overlap_reads(rs, cfg)
+    t8 = overlap_reads(rs, cfg, mesh=make_mesh(8))
+    assert len(t1) > 100
+    assert np.array_equal(t1.as_matrix(), t8.as_matrix())
+    t2 = overlap_reads(rs, cfg, mesh=make_mesh(2))
+    assert np.array_equal(t1.as_matrix(), t2.as_matrix())
 
 
 def test_sharded_extend_2_device_subset():
