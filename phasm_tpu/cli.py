@@ -135,7 +135,8 @@ def cmd_layout(args):
 def cmd_phase(args):
     """Ref: `phasm phase` (SURVEY.md §4.3)."""
     from phasm_tpu import dna
-    from phasm_tpu.bubbles import build_chains, find_superbubbles
+    from phasm_tpu.bubbles import build_chains
+    from phasm_tpu.bubbles_linear import find_superbubbles_linear as find_superbubbles
     from phasm_tpu.graph.unitigs import merge_unambiguous_paths
     from phasm_tpu.io import fasta, gfa
     from phasm_tpu.phasing import PhaseConfig, phase_all
