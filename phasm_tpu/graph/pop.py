@@ -70,27 +70,41 @@ def pop_error_bubbles(
     Returns (graph, removed_reads_mask).
     """
     from phasm_tpu.bubbles import superbubble_from  # deferred: avoids cycle
-    from phasm_tpu.overlap.extend import WINDOW  # numpy-only module
 
-    # read-pair -> min alignment error + max windowed-divergence statistic
-    # (for the similarity rule)
+    # read-pair -> min alignment error (for the similarity rule) + the set
+    # of GLOBALLY CORROBORATED window-excess pairs (for the veto rule).
+    # Corroboration is computed ONCE over the full table with the filter's
+    # own statistic: a flagged row only counts when another flagged row at
+    # the same locus involves disjoint reads (filter.corroborate_window_
+    # excess).  A het boundary is covered by many independent cross-
+    # haplotype pairs, so its vetoes survive even when THIS bubble's arms
+    # hold a single read each; a lone read's dense-error cluster — the
+    # honest >6-sigma Poisson tail — flags only its own pairs at an
+    # isolated locus and is discarded (it fabricated phantom het arms on
+    # the haploid ladder rung).
     pair_err: dict[tuple[int, int], float] = {}
-    pair_win: dict[tuple[int, int], int] = {}
+    pair_veto: set[tuple[int, int]] = set()
     if aln is not None and e_read is not None and len(aln):
+        from phasm_tpu.filter import (  # numpy-only module
+            corroborate_window_excess,
+            window_excess_mask,
+        )
+
         errs = aln.diffs / np.maximum(aln.overlap_length(), 1)
-        wins = aln.win.tolist() if aln.win is not None else [0] * len(aln)
-        for a, b, e, w in zip(
-            aln.a_id.tolist(), aln.b_id.tolist(), errs.tolist(), wins
-        ):
+        for a, b, e in zip(aln.a_id.tolist(), aln.b_id.tolist(), errs.tolist()):
             k = (a, b) if a < b else (b, a)
             if e < pair_err.get(k, np.inf):
                 pair_err[k] = e
-            if w > pair_win.get(k, -1):
-                pair_win[k] = w
+        excess = window_excess_mask(aln, e_read)
+        corr = corroborate_window_excess(aln, excess)
+        for i in np.nonzero(corr)[0]:
+            a, b = int(aln.a_id[i]), int(aln.b_id[i])
+            pair_veto.add((a, b) if a < b else (b, a))
 
     def arms_same_locus(reads1: set[int], reads2: set[int]) -> bool:
         """Same-locus iff >= 1 cross-arm pair aligns within its joint error
-        expectation AND NO cross-arm pair shows windowed-divergence excess.
+        expectation AND no corroborated windowed-divergence excess exists
+        between the arms.
 
         The veto clause is what protects het arms: a cross-haplotype arm
         pair always contains SOME read pair whose overlap spans divergent
@@ -107,10 +121,8 @@ def pop_error_bubbles(
         for r1 in reads1:
             for r2 in reads2:
                 k = (r1, r2) if r1 < r2 else (r2, r1)
-                if k in pair_win:
-                    mu = (e_read[r1] + e_read[r2]) * WINDOW
-                    if pair_win[k] > mu + max(6.0 * np.sqrt(mu), 12.0):
-                        return False
+                if k in pair_veto:
+                    return False  # corroborated divergence: genuinely het
                 e = pair_err.get(k, np.inf)
                 if e <= (e_read[r1] + e_read[r2]) * factor + margin:
                     support = True

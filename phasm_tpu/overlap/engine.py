@@ -30,15 +30,23 @@ class OverlapConfig:
     seg: int = 4096  # segment size for longer pairs (segmented kernel)
     max_jmax: int = 131072  # hard cap on overlap length
     backend: str = "auto"  # auto | pallas | jnp
-    # adaptive band: pairs whose first-pass error exceeds their measured
-    # joint expectation (err > (e_a+e_b)*factor + margin), whose window
-    # statistic does statistically, or that found no endpoint re-extend at
-    # band_wide.  High-indel long reads drift off a 64-wide band (diagonal
-    # random walk std ~sqrt(L*indel_rate)), inflating measured divergence
-    # ~1.5-2x — which made same-locus arms look heterozygous and left
-    # threshold-fragmentation bubbles in haploid assemblies (VERDICT r1 #4).
-    # Only the suspect tail pays the 2x wider-band cost.
-    band_wide: int = 128
+    # adaptive band ESCALATION: pairs whose first-pass error exceeds their
+    # measured joint expectation (err > (e_a+e_b)*factor + margin), whose
+    # window statistic does statistically, or that found no endpoint,
+    # re-extend at each wider band in turn until no trigger fires.  The
+    # diagonal drift of an indel-dominated overlap is a random walk with
+    # std ~sqrt(L * pair_indel_rate) (~26 rows for a 7 kb pair at 10%
+    # indels), so a fixed band clips the drift tail at ANY width — the
+    # ladder sizes the band to the pair instead of the dataset.  A pair
+    # still window-suspect after the widest band is genuinely divergent
+    # (cross-haplotype), not clipped: that distinction is what downstream
+    # policy (filter.window_excess_mask, pop.arms_same_locus) keys on, and
+    # a single 128 rung left a ~0.1% clipped-long-pair tail that fabricated
+    # het arms on haploid data (round-2 c3 regression).  Rungs above 256
+    # exceed the Pallas scoped-VMEM budget and route through the jnp
+    # dp_core path automatically (DeviceExtender.PALLAS_MAX_BAND) — they
+    # only ever see the final rung's few still-suspect pairs.
+    wide_bands: tuple[int, ...] = (128, 256, 512)
     wide_retry_factor: float = 1.25
     wide_retry_margin: float = 0.02
     # NOTE: the windowed-divergence statistic (extend.WINDOW probe) is
@@ -156,22 +164,24 @@ def overlap_reads(
         r_be[idx] = np.concatenate([p.b_end for p in parts])
         r_win[idx] = np.concatenate([p.win_cost for p in parts])
 
-    # adaptive band: re-extend the high-error tail at band_wide (see
-    # OverlapConfig docstring).  The wide band explores a strict superset of
-    # paths, so its result is always <= the narrow one; keep it.
-    W2 = cfg.band_wide
-    if W2 > cfg.band and N:
+    # adaptive band escalation: re-extend the high-error tail at each wider
+    # band in turn (see OverlapConfig docstring).  Every wider band explores
+    # a strict superset of paths, so its result is always <= the narrower
+    # one; keep it unconditionally.
+    if N and any(W2 > cfg.band for W2 in cfg.wide_bands):
         from phasm_tpu.overlap.extend import WINDOW
 
-        aln_len = np.maximum(np.maximum(r_ae - r_as, r_be), 1)
         # retry triggers are RELATIVE to the dataset's measured per-read
         # error (absolute thresholds retried essentially every pair on
         # high-error data, doubling overlap cost): a pair re-measures at
-        # band_wide when its whole-overlap error exceeds its joint
-        # expectation, or when any window does statistically — band
+        # the next wider band when its whole-overlap error exceeds its
+        # joint expectation, or when any window does statistically — band
         # clipping from indel drift inflates exactly these, and downstream
         # policy (filter.window_excess_mask) keys on the window statistic,
-        # so suspect pairs must be re-measured before being judged
+        # so suspect pairs must be re-measured before being judged.  The
+        # per-read expectation is computed ONCE from the first pass (the
+        # bulk is un-clipped, so the median is stable).
+        aln_len = np.maximum(np.maximum(r_ae - r_as, r_be), 1)
         err1 = r_diffs / aln_len
         found1 = r_diffs < BIG
         per_read: dict[int, list] = {}
@@ -186,13 +196,43 @@ def overlap_reads(
             ]
         )
         mu_w = exp_pair * WINDOW
+        win_thresh = mu_w + np.maximum(6.0 * np.sqrt(mu_w), 12.0)
+        # escalation bookkeeping: a genuinely divergent pair (cross-
+        # haplotype) stays trigger-suspect at EVERY band — without a stop
+        # rule it would be re-extended at every rung, tripling overlap cost
+        # on exactly the data (het-rich) with the most suspect pairs.  Two
+        # deterministic cuts:
+        #   (a) drift coverage — diagonal drift is a random walk with
+        #       sigma ~ sqrt(alen * pair_indel_rate); once the band's half
+        #       width covers 4 sigma (+8 slack) of the pair's EXPECTED
+        #       error (measured error would self-inflate for divergent
+        #       pairs), clipping is statistically excluded and a hot
+        #       window is genuine divergence, not band artifact;
+        #   (b) convergence — a wider band explores a superset of paths,
+        #       so an IDENTICAL result at the wider band proves the band
+        #       was not binding; wider still cannot differ in practice.
+        band_rung = np.full(N, cfg.band, dtype=np.int64)
+        exhausted = np.zeros(N, dtype=bool)
+
+    for W2 in cfg.wide_bands:
+        if W2 <= cfg.band or not N:
+            continue
+        aln_len = np.maximum(np.maximum(r_ae - r_as, r_be), 1)
+        err1 = r_diffs / aln_len
+        sigma = np.sqrt(np.maximum(aln_len * exp_pair, 0.0) * 0.8)
+        covered = (band_rung // 2) >= 4.0 * sigma + 8.0
         retry = (
             (r_diffs >= BIG)
-            | (err1 > exp_pair * cfg.wide_retry_factor + cfg.wide_retry_margin)
-            | (r_win > mu_w + np.maximum(6.0 * np.sqrt(mu_w), 12.0))
-        )
+            | (
+                (
+                    (err1 > exp_pair * cfg.wide_retry_factor + cfg.wide_retry_margin)
+                    | (r_win > win_thresh)
+                )
+                & ~covered
+            )
+        ) & ~exhausted
         ridx = np.nonzero(retry)[0]
-        metrics.incr("overlap.wide_band_retries", int(ridx.shape[0]))
+        metrics.incr(f"overlap.wide_band_retries.b{W2}", int(ridx.shape[0]))
         if ridx.shape[0]:
             need_w = (
                 np.minimum(lb_k[ridx], la_k[ridx] - kd[ridx] + W2).astype(np.int64)
@@ -235,11 +275,25 @@ def overlap_reads(
                 pend_w.append((sub, outs))
             for sub, outs in pend_w:
                 parts = [extender.materialize(out, M) for out, M in outs]
-                r_diffs[sub] = np.concatenate([p.diffs for p in parts])
-                r_as[sub] = np.concatenate([p.a_start for p in parts])
-                r_ae[sub] = np.concatenate([p.a_end for p in parts])
-                r_be[sub] = np.concatenate([p.b_end for p in parts])
-                r_win[sub] = np.concatenate([p.win_cost for p in parts])
+                nd = np.concatenate([p.diffs for p in parts])
+                nas = np.concatenate([p.a_start for p in parts])
+                nae = np.concatenate([p.a_end for p in parts])
+                nbe = np.concatenate([p.b_end for p in parts])
+                nw = np.concatenate([p.win_cost for p in parts])
+                same = (
+                    (r_diffs[sub] == nd)
+                    & (r_as[sub] == nas)
+                    & (r_ae[sub] == nae)
+                    & (r_be[sub] == nbe)
+                    & (r_win[sub] == nw)
+                )
+                exhausted[sub[same]] = True  # band not binding: stop (b)
+                r_diffs[sub] = nd
+                r_as[sub] = nas
+                r_ae[sub] = nae
+                r_be[sub] = nbe
+                r_win[sub] = nw
+            band_rung[ridx] = W2
 
     # map back to table convention (a forward, b oriented), filter, dedup
     a_start = np.where(swap, 0, r_as)

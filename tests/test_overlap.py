@@ -297,3 +297,103 @@ def test_segmented_kernel_long_columns_past_32768():
     assert np.array_equal(out[1], want.a_start)
     assert np.array_equal(out[2], want.a_end)
     assert np.array_equal(out[3], want.b_end)
+
+
+def test_wide_band_kernels_match_oracle():
+    """Bands 256/512 (the engine's adaptive escalation ladder): the widened
+    pack field and two-reduce end key must stay bit-identical to the scalar
+    oracle, and the window statistic to the jnp reference.
+
+    Guards the round-2 fix for indel diagonal drift: a 7 kb pair at ~10%
+    indels drifts sigma ~26 rows, so the escalation needs bands past 128 —
+    which overflowed the round-1 packing (PACK=128, mid<<7|w end key)."""
+    import numpy as np
+    from phasm_tpu.overlap.extend import (
+        _make_pallas_extend_seg,
+        banded_overlap_batch,
+        banded_overlap_np,
+        prepare_pair_tensors,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 12
+    L = 700
+    cases = []
+    for _ in range(n):
+        la_i = int(rng.integers(L // 2, L))
+        a = rng.integers(0, 4, la_i).astype(np.uint8)
+        d = int(rng.integers(0, la_i - 80))
+        seg = a[d:].copy()
+        keep = rng.random(seg.shape) >= 0.06           # deletions
+        seg = seg[keep]
+        ins = rng.random(seg.shape) < 0.06             # insertions
+        out = []
+        for i, s in enumerate(seg):
+            out.append(int(s))
+            if ins[i]:
+                out.append(int(rng.integers(0, 4)))
+        b = np.array(out, dtype=np.uint8)
+        sub = rng.random(len(b)) < 0.03
+        b = ((b + sub * rng.integers(1, 4, len(b))) % 4).astype(np.uint8)
+        cases.append((a, b, d))
+
+    Lp = max(max(len(a), len(b)) for a, b, _ in cases)
+    oriented = np.zeros((4 * n, Lp), dtype=np.uint8)
+    lengths = np.zeros(2 * n, dtype=np.int64)
+    for i, (a, b, _) in enumerate(cases):
+        oriented[4 * i, : len(a)] = a
+        oriented[4 * i + 2, : len(b)] = b
+        lengths[2 * i] = len(a)
+        lengths[2 * i + 1] = len(b)
+    a_oid = np.repeat(np.arange(n) * 4, 1)
+    b_oid = a_oid + 2
+    d0 = np.array([d for _, _, d in cases], dtype=np.int64)
+
+    for W in (256, 512):
+        jmax = 1024
+        res = banded_overlap_batch(
+            oriented, lengths, a_oid, b_oid, d0, band=W, jmax=jmax
+        )
+        for i, (a, b, d) in enumerate(cases):
+            want = banded_overlap_np(a, b, d, W)
+            got = (
+                int(res.a_start[i]), int(res.a_end[i]),
+                0, int(res.b_end[i]), int(res.diffs[i]),
+            )
+            assert got == want, (W, i, got, want)
+
+        # segmented kernel (interpret, padded batch of 128) == jnp reference
+        M = 128
+        pad = M - n
+        ao = np.concatenate([a_oid, np.zeros(pad, np.int64)])
+        bo = np.concatenate([b_oid, np.full(pad, 2, np.int64)])
+        dd = np.concatenate([d0, np.zeros(pad, np.int64)]).astype(np.int32)
+        a2, b2, laa, lbb = prepare_pair_tensors(
+            oriented, lengths, ao, bo, dd, W, jmax
+        )
+        SEG, NSEG = 512, 2
+        tt = np.arange(NSEG * (SEG + W))
+        ai = (
+            dd[:, None]
+            + (tt // (SEG + W))[None, :] * SEG
+            + (tt % (SEG + W))[None, :]
+            - W // 2
+        )
+        a_rows = oriented[ao]
+        a_ok = (ai >= 0) & (ai < laa[:, None])
+        a2s = np.where(
+            a_ok, a_rows[np.arange(M)[:, None], np.clip(ai, 0, Lp - 1)], 254
+        )
+        run = _make_pallas_extend_seg(W, SEG, NSEG, 128, interpret=True)
+        out = np.asarray(
+            run(
+                dd[None, :], laa[None, :], lbb[None, :],
+                np.ascontiguousarray(a2s.T).astype(np.int32),
+                np.ascontiguousarray(b2.T).astype(np.int32),
+            )
+        )[:, :n]
+        assert np.array_equal(out[0], res.diffs), W
+        assert np.array_equal(out[1], res.a_start), W
+        assert np.array_equal(out[2], res.a_end), W
+        assert np.array_equal(out[3], res.b_end), W
+        assert np.array_equal(out[4], res.win_cost), W
