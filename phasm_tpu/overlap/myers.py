@@ -1,0 +1,673 @@
+"""Myers bit-vector block-banded overlap backend.
+
+Replaces the per-cell banded DP (extend.dp_core / the Pallas scan kernels)
+on the throughput-critical extend stage: 32 DP cells live in ONE uint32
+word, one DP column costs ~17 bitwise VPU ops per word instead of ~30 ops
+per CELL — the round-2 speed-of-light push (SURVEY.md §8.3 item 3,
+ROOFLINE.md).  Same engine contract as extend.banded_overlap_batch:
+ExtendResult(a_start, a_end, b_start=0, b_end, diffs, win_cost).
+
+Reference: phasm/overlap :: DALIGNER stage (SURVEY.md §3.2).  Algorithm:
+Myers' bit-parallel approximate matching (JACM 1999), generalized to a
+block-quantized moving band (validated prototype: scripts/myers_proto2.py):
+
+  * the band is K uint32 words (K = ceil((W+63)/32) + 1) anchored at
+    row 32*m0 (m0 = (d0 - W/2)//32 - 1, may be NEGATIVE) and advancing
+    one word every 32 columns at the SAME columns for every pair — the
+    per-pair seed diagonal is folded into the Peq anchoring, so a batched
+    kernel is 100% elementwise (no per-lane gathers or shift decisions).
+    Coverage: the uniform window strictly contains the +-W/2 diagonal
+    band at every column, with >= 1 word of top margin (edge cells only
+    see the +1 boundary and would clip a path riding them).
+  * phantom rows i < 0 behave as always-mismatch free starts; every
+    phantom column advance costs exactly +1 (same as the row-0
+    horizontal), so they are provably value-preserving for real rows —
+    they only pad the window at array edges.  Masks exclude them from
+    endpoints and the band-min statistic.
+  * the score at row la is carried INCREMENTALLY from the pre-shift
+    Ph/Mh horizontal-delta bits; s_top/s_bot likewise (popcounts only at
+    the 1-in-32 shift columns), so per-column work stays O(K) words.
+  * shifts are per-pair gated by activity, so each pair's band state
+    FREEZES at its own lb; one post-loop extraction (at the closed-form
+    frozen block (lb-1)//32) replaces per-column final-column scans.
+  * a_start is recovered by a REVERSE pass over the reversed consumed
+    prefixes, anchored at the chosen endpoint (free start -> anchored
+    end).  Its window is placed from the forward window's diagonal
+    interval (see rev_anchor), guaranteeing cost_rev <= cost_fwd; ties
+    break toward the smallest start.
+  * the windowed-divergence statistic (extend.WINDOW, two offset grids)
+    is the band minimum extracted at mark columns only (1 in 128).
+
+Semantics are defined by the scalar oracle ``myers_oracle`` below; the
+jnp core must match it bit-exactly (tests/test_myers.py property suite),
+per the repo-wide oracle invariant.
+
+Tie-breaks (differ from the W-band oracle, which tracks starts in-band):
+  endpoint: lexicographic (cost, -(i_end + j_end), j_end)
+  start   : (cost_rev, smallest i0)
+  reported diffs = cost_rev (<= forward cost: the reverse window covers
+  a superset of the forward window's paths to the endpoint).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from phasm_tpu.overlap.extend import BIG, WINDOW, ExtendResult
+
+WB = 32
+MBIG = 1 << 28  # invalid sentinel (costs can legitimately exceed extend.BIG)
+
+
+def K_of(W: int) -> int:
+    """Words per window: +63 absorbs anchor/phase quantization, +1 word of
+    top margin keeps the +-W/2 band strictly interior."""
+    return -(-(W + 63) // WB) + 1
+
+
+def fwd_anchor(d0, W: int):
+    """m0: the pair's window anchor block (row 32*m0; may be negative)."""
+    return (d0 - W // 2) // WB - 1
+
+
+def rev_anchor(i_end, j_end, d0, W: int):
+    """Reverse-window anchor block m0r.
+
+    Forward path positions satisfy i - j in [base - 31, base + 32K]
+    (base = 32 * m0_fwd), so reverse diagonals i' - j' = dc - (i - j)
+    (dc = i_end - j_end) lie in [dc - base - 32K, dc - base + 31];
+    anchoring one margin word below the floor with K' = K + 5 words keeps
+    the whole forward window strictly interior."""
+    Kf = K_of(W)
+    base = WB * fwd_anchor(d0, W)
+    return ((i_end - j_end) - base - WB * Kf) // WB - 1
+
+
+def rev_K(W: int) -> int:
+    return K_of(W) + 5
+
+
+# ---------------------------------------------------------------------------
+# scalar oracle (normative semantics; small inputs only)
+# ---------------------------------------------------------------------------
+
+
+def _blockband_dp(a, b, la, lb, K, m0, init_prev, want_marks):
+    """Shared scalar block-band DP.  init_prev: row values at j=0 for window
+    rows m0*WB + [0, K*WB].  Returns (final prev, final m, la_track, marks)
+    where la_track[j] = D[la, j+1] when la is in-window else None, and
+    marks[jj] = band min at mark column jj (rows masked to [0, la])."""
+    n = K * WB + 1
+    m = m0
+    prev = init_prev.copy()
+    la_track: list = []
+    marks: dict = {}
+    for j in range(lb):
+        m_want = m0 + j // WB
+        while m_want > m:
+            nxt = np.empty_like(prev)
+            nxt[: n - WB] = prev[WB:]
+            for t in range(WB):
+                nxt[n - WB + t] = nxt[n - WB - 1] + t + 1
+            prev = nxt
+            m += 1
+        cur = np.empty_like(prev)
+        cur[0] = prev[0] + 1  # top boundary: +1 per column
+        for t in range(1, n):
+            i = m * WB + t
+            sub = 1
+            if 1 <= i <= la:
+                sub = int(a[i - 1] != b[j])
+            cur[t] = min(prev[t - 1] + sub, prev[t] + 1, cur[t - 1] + 1)
+        prev = cur
+        if m * WB <= la <= m * WB + K * WB:
+            la_track.append(int(prev[la - m * WB]))
+        else:
+            la_track.append(None)
+        if want_marks and (j + 1) % (WINDOW // 2) == 0:
+            rows = m * WB + np.arange(n)
+            valid = (rows >= 0) & (rows <= la)
+            marks[j + 1] = int(prev[valid].min()) if valid.any() else MBIG
+    return prev, m, la_track, marks
+
+
+def myers_fwd_oracle(a, b, d0, W):
+    """Returns (cost, i_end, j_end, win_cost); cost == MBIG when no valid
+    endpoint exists.  Endpoint key: (cost, -(i_end + j_end), j_end)."""
+    la, lb = len(a), len(b)
+    K = K_of(W)
+    m0 = fwd_anchor(d0, W)
+    n = K * WB + 1
+    prev, m, la_track, marks = _blockband_dp(
+        a, b, la, lb, K, m0, np.zeros(n, dtype=np.int64), True
+    )
+    best = (MBIG, 0, 0)
+    best_out = (int(MBIG), 0, 0)
+    for j, c in enumerate(la_track):
+        if c is not None:
+            key = (c, -(la + j + 1), j + 1)
+            if key < best:
+                best, best_out = key, (c, la, j + 1)
+    for t in range(n):
+        i = m * WB + t
+        if 0 <= i <= la:
+            c = int(prev[t])
+            key = (c, -(i + lb), lb)
+            if key < best:
+                best, best_out = key, (c, i, lb)
+    # windowed statistic from the band-min marks (two offset grids)
+    win_cap = min(lb, la - d0 - W // 2)
+    wprev = wmax = wprev2 = wmax2 = 0
+    for jj in sorted(marks):
+        bm = marks[jj]
+        in_cap = jj <= win_cap
+        if jj % WINDOW == 0:
+            if in_cap:
+                wmax = max(wmax, bm - wprev)
+            wprev = bm
+        else:
+            if in_cap and jj != WINDOW // 2:
+                wmax2 = max(wmax2, bm - wprev2)
+            wprev2 = bm
+    return best_out + (max(wmax, wmax2),)
+
+
+def myers_rev_oracle(a, b, i_end, j_end, d0, W):
+    """Start recovery: (cost_rev, i0).  Anchored-end DP over reversed
+    prefixes; phantom rows i' < 0 initialized to |i'| (never below any
+    real value).  Tie-break: smallest i0 (largest reverse row)."""
+    if j_end == 0:
+        return 0, i_end
+    ar = np.asarray(a[:i_end][::-1])
+    br = np.asarray(b[:j_end][::-1])
+    K = rev_K(W)
+    m0 = int(rev_anchor(i_end, j_end, d0, W))
+    n = K * WB + 1
+    init = np.abs(m0 * WB + np.arange(n, dtype=np.int64))
+    prev, m, _, _ = _blockband_dp(ar, br, len(ar), len(br), K, m0, init, False)
+    best = (MBIG, 0)
+    for t in range(n):
+        i = m * WB + t
+        if 0 <= i <= len(ar):
+            key = (int(prev[t]), -i)
+            if key < best:
+                best = key
+    cost, negi = best
+    return cost, i_end - (-negi)
+
+
+def myers_oracle(a, b, d0, W):
+    """Full contract: (a_start, a_end, b_start=0, b_end, diffs, win_cost)."""
+    c, ie, je, win = myers_fwd_oracle(a, b, d0, W)
+    if c >= MBIG:
+        return (0, 0, 0, 0, int(BIG), 0)
+    rc, i0 = myers_rev_oracle(a, b, ie, je, d0, W)
+    return (int(i0), int(ie), 0, int(je), int(rc), int(win))
+
+
+# ---------------------------------------------------------------------------
+# jnp implementation (traceable; CPU tests + TPU production path)
+# ---------------------------------------------------------------------------
+
+
+def _word_step(Eq, Pv, Mv, hp, hn):
+    """One Myers word update (uint32).  hp/hn are 0/1 horizontal carries.
+    Returns (VP', VN', Ph_shifted, Mh_shifted, hout_pos, hout_neg)."""
+    import jax.numpy as jnp
+
+    u1, u31 = jnp.uint32(1), jnp.uint32(31)
+    Xv = Eq | Mv
+    Eq2 = Eq | hn
+    Xh = (((Eq2 & Pv) + Pv) ^ Pv) | Eq2
+    Ph = Mv | ~(Xh | Pv)
+    Mh = Pv & Xh
+    hout_p = Ph >> u31
+    hout_n = Mh >> u31
+    Ph = (Ph << u1) | hp
+    Mh = (Mh << u1) | hn
+    VP = Mh | ~(Xv | Ph)
+    VN = Ph & Xv
+    return VP, VN, Ph, Mh, hout_p, hout_n
+
+
+def _pack_bits(bits):
+    """bits [..., 32] bool -> uint32 word (bit t = bits[..., t])."""
+    import jax.numpy as jnp
+
+    t = jnp.arange(WB, dtype=jnp.uint32)
+    return (bits.astype(jnp.uint32) << t).sum(axis=-1).astype(jnp.uint32)
+
+
+def _build_peq(win, NBLK):
+    """win [B, NBLK*32] int32 codes (PAD >= 4) -> peq [NBLK, 4, B] uint32."""
+    import jax.numpy as jnp
+
+    B = win.shape[0]
+    w = win.reshape(B, NBLK, WB)
+    peq = jnp.stack([_pack_bits(w == c) for c in range(4)], axis=0)
+    return jnp.transpose(peq, (2, 0, 1))  # [NBLK, 4, B]
+
+
+def _eq_select(e4, bj, zero_u):
+    import jax.numpy as jnp
+
+    return jnp.where(
+        bj == 0, e4[0],
+        jnp.where(bj == 1, e4[1],
+                  jnp.where(bj == 2, e4[2],
+                            jnp.where(bj == 3, e4[3], zero_u))),
+    )
+
+
+def _band_runs(VP, VN, s_top, K):
+    """Row values below the anchor from the band words: runs [K*32, B],
+    runs[r] = (value at rel row anchor + r + 1) via a bit prefix-sum."""
+    import jax.numpy as jnp
+
+    t = jnp.arange(WB, dtype=jnp.uint32)
+    vp = jnp.stack(VP)  # [K, B]
+    vn = jnp.stack(VN)
+    bp = ((vp[:, None, :] >> t[None, :, None]) & jnp.uint32(1)).astype(
+        jnp.int32
+    )
+    bn = ((vn[:, None, :] >> t[None, :, None]) & jnp.uint32(1)).astype(
+        jnp.int32
+    )
+    delta = (bp - bn).reshape(K * WB, -1)
+    return s_top[None, :] + jnp.cumsum(delta, axis=0)
+
+
+def myers_fwd_core(peq, b2T, la_rel, la, lb, d0, W: int):
+    """Forward pass (traceable).  peq [NBLK, 4, B] uint32 (window-anchored
+    match masks); b2T [J, B] int32 codes (>=4 never matches);
+    la_rel = la - 32*m0.  Returns (cost, iend_rel, jend, win) int32 [B] —
+    iend_rel in anchor-relative rows (add 32*m0 outside)."""
+    import jax
+    import jax.numpy as jnp
+
+    K = K_of(W)
+    J, B = b2T.shape
+    NB = J // WB
+    assert J % WB == 0 and J % (WINDOW // 2) == 0, "jmax must be 128-aligned"
+
+    u32 = jnp.uint32
+    zero = jnp.zeros((B,), jnp.int32)
+    zero_u = jnp.zeros((B,), u32)
+    all1_u = jnp.full((B,), 0xFFFFFFFF, u32)
+
+    win_cap = jnp.minimum(lb, la - d0 - W // 2)
+    kla = jnp.maximum(la_rel - 1, 0) // WB  # absolute word index of row la
+    tla = (jnp.maximum(la_rel - 1, 0) % WB).astype(u32)
+    neg_floor = la_rel - la  # rel row r is absolute row r - neg_floor
+
+    def consider(state, cost, iend_rel, jend, mask):
+        bc, bn, bi, bj = state
+        negsum = -(iend_rel + jend)
+        better = mask & ((cost < bc) | ((cost == bc) & (negsum < bn)))
+        return (
+            jnp.where(better, cost, bc),
+            jnp.where(better, negsum, bn),
+            jnp.where(better, iend_rel, bi),
+            jnp.where(better, jend, bj),
+        )
+
+    def block_body(blk, carry):
+        (VP, VN, s_top, s_bot, s_la, below, state,
+         wprev, wmax, wprev2, wmax2) = carry
+
+        # --- uniform shift at block start (skip blk 0), per-pair gated so
+        # each pair's band freezes at its own lb ---
+        act_s = (blk > 0) & (blk * WB < lb)
+        d_top = (
+            jax.lax.population_count(VP[0]).astype(jnp.int32)
+            - jax.lax.population_count(VN[0]).astype(jnp.int32)
+        )
+        s_top = jnp.where(act_s, s_top + d_top, s_top)
+        VP = tuple(
+            jnp.where(act_s, VP[k + 1], VP[k]) for k in range(K - 1)
+        ) + (jnp.where(act_s, all1_u, VP[K - 1]),)
+        VN = tuple(
+            jnp.where(act_s, VN[k + 1], VN[k]) for k in range(K - 1)
+        ) + (jnp.where(act_s, zero_u, VN[K - 1]),)
+        s_bot = jnp.where(act_s, s_bot + WB, s_bot)
+        # la enters through the new bottom word: D[bot - x] = D[bot] - x
+        enter = below & act_s & (la_rel <= (blk + K) * WB)
+        s_la = jnp.where(enter, s_bot - ((blk + K) * WB - la_rel), s_la)
+        below = below & ~enter
+
+        # --- contiguous per-block tensor slices (no per-lane gathers) ---
+        pq = jax.lax.dynamic_slice_in_dim(peq, blk, K, axis=0)  # [K, 4, B]
+        bb = jax.lax.dynamic_slice_in_dim(b2T, blk * WB, WB, axis=0)
+
+        kla_rel = kla - blk  # word slot containing row la this block
+        in_win = (la_rel >= blk * WB) & (la_rel <= (blk + K) * WB) & ~below
+
+        def col_step(cc, xs):
+            VP, VN, s_top, s_bot, s_la, state = cc
+            bj, u = xs
+            j = blk * WB + u
+            active = j < lb
+            hp = jnp.where(active, u32(1), u32(0))
+            hn = zero_u
+            dla = zero
+            nVP, nVN = [], []
+            for k in range(K):
+                Eq = _eq_select(pq[k], bj, zero_u)
+                vpk, vnk, Ph, Mh, hp2, hn2 = _word_step(
+                    Eq, VP[k], VN[k], hp, hn
+                )
+                # horizontal delta at row la: pre-shift bit tla is post-shift
+                # bit tla+1 (tla < 31) or the carry-out (tla == 31)
+                pre_p = jnp.where(
+                    tla < WB - 1, (Ph >> (tla + u32(1))) & u32(1), hp2
+                )
+                pre_n = jnp.where(
+                    tla < WB - 1, (Mh >> (tla + u32(1))) & u32(1), hn2
+                )
+                dla = jnp.where(
+                    kla_rel == k,
+                    pre_p.astype(jnp.int32) - pre_n.astype(jnp.int32),
+                    dla,
+                )
+                nVP.append(jnp.where(active, vpk, VP[k]))
+                nVN.append(jnp.where(active, vnk, VN[k]))
+                hp = jnp.where(active, hp2, zero_u)
+                hn = jnp.where(active, hn2, zero_u)
+            s_top = s_top + jnp.where(active, 1, 0)
+            s_bot = s_bot + jnp.where(
+                active, hp.astype(jnp.int32) - hn.astype(jnp.int32), 0
+            )
+            dla = jnp.where(la_rel == blk * WB, 1, dla)  # la == anchor row
+            upd = active & in_win
+            s_la = s_la + jnp.where(upd, dla, 0)
+            state = consider(state, s_la, la_rel, j + 1, upd & (s_la < MBIG))
+            return (tuple(nVP), tuple(nVN), s_top, s_bot, s_la, state), None
+
+        (VP, VN, s_top, s_bot, s_la, state), _ = jax.lax.scan(
+            col_step, (VP, VN, s_top, s_bot, s_la, state),
+            (bb, jnp.arange(WB, dtype=jnp.int32)),
+        )
+
+        # --- windowed band-min marks at jj = (blk+1)*32, every 4th block ---
+        def do_marks(ms):
+            wprev, wmax, wprev2, wmax2 = ms
+            anchor_ok = (blk * WB >= neg_floor) & (blk * WB <= la_rel)
+            runs = _band_runs(VP, VN, s_top, K)  # [K*32, B]
+            rel = blk * WB + 1 + jnp.arange(K * WB, dtype=jnp.int32)[:, None]
+            ok = (rel >= neg_floor[None, :]) & (rel <= la_rel[None, :])
+            bm = jnp.where(ok, runs, MBIG).min(axis=0)
+            bm = jnp.minimum(bm, jnp.where(anchor_ok, s_top, MBIG))
+            jj = (blk + 1) * WB
+            in_cap = jj <= win_cap
+            g1 = (blk % 8) == 7  # jj % 256 == 0
+            first2 = blk == 3  # jj == 128: half-size first span, skip
+            wmax = jnp.where(g1 & in_cap, jnp.maximum(wmax, bm - wprev), wmax)
+            wprev = jnp.where(g1, bm, wprev)
+            wmax2 = jnp.where(
+                (~g1) & in_cap & ~first2, jnp.maximum(wmax2, bm - wprev2),
+                wmax2,
+            )
+            wprev2 = jnp.where(~g1, bm, wprev2)
+            return wprev, wmax, wprev2, wmax2
+
+        wprev, wmax, wprev2, wmax2 = jax.lax.cond(
+            (blk % 4) == 3, do_marks, lambda ms: ms,
+            (wprev, wmax, wprev2, wmax2),
+        )
+
+        return (VP, VN, s_top, s_bot, s_la, below, state,
+                wprev, wmax, wprev2, wmax2)
+
+    below0 = la_rel > K * WB
+    s_la0 = jnp.where((la_rel >= 0) & (la_rel <= K * WB), 0, MBIG).astype(
+        jnp.int32
+    )
+    state0 = (zero + MBIG, zero + (1 << 30), zero, zero)
+    carry = (
+        tuple(zero_u for _ in range(K)), tuple(zero_u for _ in range(K)),
+        zero, zero, s_la0, below0, state0, zero, zero, zero, zero,
+    )
+    carry = jax.lax.fori_loop(0, NB, block_body, carry)
+    (VP, VN, s_top, s_bot, s_la, below, state,
+     wprev, wmax, wprev2, wmax2) = carry
+
+    # --- final-column extraction from each pair's frozen band state ---
+    # Candidates resolve ties by (cost, negsum) alone: distinct rows have
+    # distinct negsum at the fixed final column, so the reduction is exact.
+    m_fr = jnp.maximum(lb - 1, 0) // WB
+    anchor_rel = m_fr * WB
+    runs = _band_runs(VP, VN, s_top, K)  # [K*32, B]
+    rel = anchor_rel[None, :] + 1 + jnp.arange(K * WB, dtype=jnp.int32)[:, None]
+    rel = jnp.concatenate([anchor_rel[None, :], rel], axis=0)
+    vals = jnp.concatenate([s_top[None, :], runs], axis=0)
+    ok = (rel >= neg_floor[None, :]) & (rel <= la_rel[None, :])
+    costs = jnp.where(ok, vals, MBIG)
+    m1 = costs.min(axis=0)
+    negsum = -(rel + lb[None, :])
+    m2 = jnp.where(costs == m1[None, :], negsum, 1 << 30).min(axis=0)
+    iend_fin = -m2 - lb
+    state = consider(state, m1, iend_fin, lb, m1 < MBIG)
+
+    bc, bn, bi, bj = state
+    return bc, bi, bj, jnp.maximum(wmax, wmax2)
+
+
+def myers_rev_core(peq, b2T, row_off, la, lb, W: int):
+    """Anchored-end reverse pass (traceable).  peq [NBLKr, 4, B] over the
+    reversed consumed a-prefix, anchored at row 32*m0r (row_off = 32*m0r);
+    b2T [J, B] reversed consumed b-prefix codes; la = i_end, lb = j_end.
+    Returns (cost_rev, best_row_abs) — i0 = i_end - best_row_abs."""
+    import jax
+    import jax.numpy as jnp
+
+    K = rev_K(W)
+    J, B = b2T.shape
+    NB = J // WB
+
+    u32 = jnp.uint32
+    zero_u = jnp.zeros((B,), u32)
+    all1_u = jnp.full((B,), 0xFFFFFFFF, u32)
+
+    # anchored-start init: D[row, 0] = |row| (phantom rows count down to the
+    # free row 0); VP bit where the next row is > 0, VN where it is <= 0
+    offs = jnp.arange(K * WB, dtype=jnp.int32).reshape(K, WB)
+    nxt_row = row_off[None, None, :] + offs[:, :, None] + 1  # [K, 32, B]
+    VP0 = tuple(_pack_bits(jnp.transpose(nxt_row[k] > 0)) for k in range(K))
+    VN0 = tuple(_pack_bits(jnp.transpose(nxt_row[k] <= 0)) for k in range(K))
+    s_top0 = jnp.abs(row_off)
+
+    def block_body(blk, carry):
+        VP, VN, s_top = carry
+        act_s = (blk > 0) & (blk * WB < lb)
+        d_top = (
+            jax.lax.population_count(VP[0]).astype(jnp.int32)
+            - jax.lax.population_count(VN[0]).astype(jnp.int32)
+        )
+        s_top = jnp.where(act_s, s_top + d_top, s_top)
+        VP = tuple(
+            jnp.where(act_s, VP[k + 1], VP[k]) for k in range(K - 1)
+        ) + (jnp.where(act_s, all1_u, VP[K - 1]),)
+        VN = tuple(
+            jnp.where(act_s, VN[k + 1], VN[k]) for k in range(K - 1)
+        ) + (jnp.where(act_s, zero_u, VN[K - 1]),)
+
+        pq = jax.lax.dynamic_slice_in_dim(peq, blk, K, axis=0)
+        bb = jax.lax.dynamic_slice_in_dim(b2T, blk * WB, WB, axis=0)
+
+        def col_step(cc, xs):
+            VP, VN, s_top = cc
+            bj, u = xs
+            active = (blk * WB + u) < lb
+            hp = jnp.where(active, u32(1), u32(0))
+            hn = zero_u
+            nVP, nVN = [], []
+            for k in range(K):
+                Eq = _eq_select(pq[k], bj, zero_u)
+                vpk, vnk, _, _, hp2, hn2 = _word_step(Eq, VP[k], VN[k], hp, hn)
+                nVP.append(jnp.where(active, vpk, VP[k]))
+                nVN.append(jnp.where(active, vnk, VN[k]))
+                hp = jnp.where(active, hp2, zero_u)
+                hn = jnp.where(active, hn2, zero_u)
+            s_top = s_top + jnp.where(active, 1, 0)
+            return (tuple(nVP), tuple(nVN), s_top), None
+
+        (VP, VN, s_top), _ = jax.lax.scan(
+            col_step, (VP, VN, s_top),
+            (bb, jnp.arange(WB, dtype=jnp.int32)),
+        )
+        return VP, VN, s_top
+
+    VP, VN, s_top = jax.lax.fori_loop(0, NB, block_body, (VP0, VN0, s_top0))
+
+    # frozen-state extraction: min cost, tie -> LARGEST reverse row
+    m_fr = jnp.maximum(lb - 1, 0) // WB
+    runs = _band_runs(VP, VN, s_top, K)
+    rel = m_fr[None, :] * WB + 1 + jnp.arange(K * WB, dtype=jnp.int32)[:, None]
+    rel = jnp.concatenate([(m_fr * WB)[None, :], rel], axis=0)
+    vals = jnp.concatenate([s_top[None, :], runs], axis=0)
+    row_abs = rel + row_off[None, :]
+    ok = (row_abs >= 0) & (row_abs <= la[None, :])
+    costs = jnp.where(ok, vals, MBIG)
+    bc = costs.min(axis=0)
+    br = jnp.where(costs == bc[None, :], row_abs, -(1 << 30)).max(axis=0)
+    return bc, br
+
+
+def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
+    """Full traceable per-batch compute (fwd + start recovery).
+
+    a_rows [B, LA] / b_rows [B, LB] int32 codes with PAD >= 4 beyond the
+    read lengths; la/lb/d0 [B] int32.  Returns (cost, i0, iend, jend, win),
+    cost == extend.BIG when no valid endpoint (contract of dp_core)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, LA = a_rows.shape
+    PAD = jnp.int32(4)
+
+    # ---- forward window + peq ----
+    Kf = K_of(W)
+    NBLK = J // WB + Kf
+    R = NBLK * WB
+    m0 = fwd_anchor(d0, W)
+    # front pad = R: if the clamp at -R binds, NO window row is a valid
+    # a-index (absr = m0*32 + q < 0 for all q < R), so the explicit
+    # validity mask below PADs the whole (misaligned) slice anyway
+    start_f = jnp.clip(m0 * WB, -R, LA) + R
+    a_pad = jnp.pad(a_rows, ((0, 0), (R, R)), constant_values=4)
+
+    def slc(row, s):
+        return jax.lax.dynamic_slice(row, (s,), (R,))
+
+    win_f = jax.vmap(slc)(a_pad, start_f)
+    # validity: absolute row index in [0, la)
+    q = jnp.arange(R, dtype=jnp.int32)[None, :]
+    absr = m0[:, None] * WB + q
+    win_f = jnp.where((absr >= 0) & (absr < la[:, None]), win_f, PAD)
+    peq_f = _build_peq(win_f, NBLK)
+
+    jcol = jnp.arange(J, dtype=jnp.int32)[:, None]
+    LB = b_rows.shape[1]
+    b_src = b_rows[:, :J].T if LB >= J else jnp.pad(
+        b_rows, ((0, 0), (0, J - LB)), constant_values=4
+    ).T[:J]
+    b2T = jnp.where(jcol < lb[None, :], b_src, PAD)
+
+    la_rel = la - m0 * WB
+    cost_f, iend_rel, jend, win = myers_fwd_core(
+        peq_f, b2T, la_rel, la, lb, d0, W
+    )
+    iend = iend_rel + m0 * WB
+
+    # ---- reverse window (reversed consumed prefixes) + peq ----
+    Kr = rev_K(W)
+    NBLKr = J // WB + Kr
+    Rr = NBLKr * WB
+    m0r = rev_anchor(iend, jend, d0, W)
+    a_flip = jnp.flip(
+        jnp.where(jnp.arange(LA)[None, :] < la[:, None], a_rows, PAD), axis=1
+    )
+    # arw[p, q] = a[p, iend-1 - (m0r*32 + q)] = a_flip[p, LA - iend + m0r*32 + q]
+    start_r = jnp.clip(LA - iend + m0r * WB, -Rr, LA) + Rr
+    af_pad = jnp.pad(a_flip, ((0, 0), (Rr, Rr)), constant_values=4)
+
+    def slcr(row, s):
+        return jax.lax.dynamic_slice(row, (s,), (Rr,))
+
+    win_r = jax.vmap(slcr)(af_pad, start_r)
+    qr = jnp.arange(Rr, dtype=jnp.int32)[None, :]
+    absrr = m0r[:, None] * WB + qr  # reverse 0-based char index
+    win_r = jnp.where((absrr >= 0) & (absrr < iend[:, None]), win_r, PAD)
+    peq_r = _build_peq(win_r, NBLKr)
+
+    # brw[p, j] = b[p, jend-1-j] = b_flip[p, LB - jend + j]
+    b_msk = jnp.where(
+        jnp.arange(b_rows.shape[1])[None, :] < lb[:, None], b_rows, PAD
+    )
+    b_flip = jnp.pad(
+        jnp.flip(b_msk, axis=1), ((0, 0), (0, J)), constant_values=4
+    )
+
+    def slcb(row, s):
+        return jax.lax.dynamic_slice(row, (s,), (J,))
+
+    brw = jax.vmap(slcb)(b_flip, b_rows.shape[1] - jend)
+    b2T_r = jnp.where(jcol < jend[None, :], brw.T, PAD)
+
+    cost_r, best_row = myers_rev_core(peq_r, b2T_r, m0r * WB, iend, jend, W)
+    i0 = iend - best_row
+
+    # degenerate jend == 0 (can only happen alongside an invalid forward)
+    cost_r = jnp.where(jend == 0, 0, cost_r)
+    i0 = jnp.where(jend == 0, iend, i0)
+
+    valid = cost_f < MBIG
+    return (
+        jnp.where(valid, cost_r, jnp.int32(BIG)),
+        jnp.where(valid, i0, 0),
+        jnp.where(valid, iend, 0),
+        jnp.where(valid, jend, 0),
+        jnp.where(valid, win, 0),
+    )
+
+
+_jit_myers: dict = {}
+
+
+def _get_jit_myers(W: int, J: int):
+    key = (W, J)
+    if key not in _jit_myers:
+        import jax
+        from functools import partial
+
+        _jit_myers[key] = jax.jit(partial(_myers_pair_core, W=W, J=J))
+    return _jit_myers[key]
+
+
+def myers_overlap_batch(
+    oriented: np.ndarray,
+    lengths: np.ndarray,
+    a_oid: np.ndarray,
+    b_oid: np.ndarray,
+    d0: np.ndarray,
+    band: int = 64,
+    jmax: int = 4096,
+) -> ExtendResult:
+    """Batched Myers block-banded overlap — drop-in alternative to
+    extend.banded_overlap_batch (same call signature and ExtendResult
+    contract; block-band semantics per myers_oracle)."""
+    la = lengths[a_oid >> 1].astype(np.int32)
+    lb = lengths[b_oid >> 1].astype(np.int32)
+    a_rows = oriented[a_oid].astype(np.int32)
+    b_rows = oriented[b_oid].astype(np.int32)
+    run = _get_jit_myers(band, jmax)
+    cost, i0, iend, jend, win = run(
+        a_rows, b_rows, la, lb, d0.astype(np.int32)
+    )
+    return ExtendResult(
+        a_start=np.asarray(i0),
+        a_end=np.asarray(iend),
+        b_start=np.zeros_like(np.asarray(i0)),
+        b_end=np.asarray(jend),
+        diffs=np.asarray(cost),
+        win_cost=np.asarray(win),
+    )
