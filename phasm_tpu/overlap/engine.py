@@ -29,7 +29,7 @@ class OverlapConfig:
     pallas_buckets: tuple = (1024, 4096)  # short-pair buckets
     seg: int = 4096  # segment size for longer pairs (segmented kernel)
     max_jmax: int = 131072  # hard cap on overlap length
-    backend: str = "auto"  # auto | pallas | jnp
+    backend: str = "auto"  # auto | pallas | jnp | myers (bit-vector DP)
     # adaptive band ESCALATION: pairs whose first-pass error exceeds their
     # measured joint expectation (err > (e_a+e_b)*factor + margin), whose
     # window statistic does statistically, or that found no endpoint,
@@ -111,7 +111,9 @@ def overlap_reads(
 
     from phasm_tpu.overlap.extend import DeviceExtender
 
-    extender = DeviceExtender(oriented, lengths, band=cfg.band, mesh=mesh)
+    extender = DeviceExtender(
+        oriented, lengths, band=cfg.band, mesh=mesh, backend=backend
+    )
 
     # bucket edges: the short fixed buckets, then segment multiples up to the
     # LARGEST actually-needed column count (capped) — avoids burning columns

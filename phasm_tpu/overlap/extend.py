@@ -684,11 +684,16 @@ class DeviceExtender:
     PALLAS_MAX_JMAX = 4096  # VMEM: 2 double-buffered [jmax+W,128] int32 blocks
 
     def __init__(self, oriented: np.ndarray, lengths: np.ndarray, band: int = 64,
-                 mesh=None, mesh_axis: str = "dp"):
+                 mesh=None, mesh_axis: str = "dp", backend: str = "auto"):
         import jax
 
         _enable_compilation_cache()
         self.band = band  # default band; extend() may override per call
+        # backend: "auto" (pallas on TPU, jnp scan elsewhere), "pallas",
+        # "jnp", or "myers" (bit-vector block-band, overlap/myers.py —
+        # block-band semantics per myers_oracle, NOT bit-identical to the
+        # W-band backends)
+        self.backend = backend
         self._mesh = None
         self._axis = mesh_axis
         if mesh is not None and mesh.devices.size > 1:
@@ -709,7 +714,9 @@ class DeviceExtender:
             self._oriented = jax.device_put(oriented.astype(np.uint8))
             self._lengths = jax.device_put(lengths.astype(np.int32))
         self._runs: dict = {}
-        self._use_pallas = jax.default_backend() == "tpu"
+        self._use_pallas = (
+            backend in ("auto", "pallas") and jax.default_backend() == "tpu"
+        )
 
     # widest band the segmented Pallas kernel fits in scoped VMEM at a
     # useful segment size; wider escalation rungs route through the jnp
@@ -735,13 +742,23 @@ class DeviceExtender:
                 tuple(d.id for d in self._mesh.devices.flat),
                 self._mesh.axis_names,
             )
-        gkey = (W, jmax, block_b, self._use_pallas, mk)
+        gkey = (W, jmax, block_b, self._use_pallas, self.backend, mk)
         if gkey in _GLOBAL_RUNS:
             run = _GLOBAL_RUNS[gkey]
             self._runs[key] = run
             return run
         import jax
         import jax.numpy as jnp
+        if self.backend == "myers":
+            from functools import partial
+
+            from phasm_tpu.overlap.myers import myers_compute
+
+            compute = partial(myers_compute, W=W, J=jmax)
+            run = self._wrap_run(compute)
+            self._runs[key] = run
+            _GLOBAL_RUNS[gkey] = run
+            return run
         if self._use_pallas and W <= self.PALLAS_MAX_BAND:
             # int8 band tensors end-to-end: the gather/pad/mask/transpose
             # chain and the kernel's HBM->VMEM streams all move 1 byte/code
@@ -829,47 +846,51 @@ class DeviceExtender:
             b2 = jnp.where(j < lb[:, None], b_base, 255).astype(jnp.int32)
             return dp_core(a2, b2, la, lb, d0, W)
 
-        if self._mesh is None:
-            run = jax.jit(compute)
-        else:
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as P
-
-            try:  # jax >= 0.6
-                from jax import shard_map
-            except ImportError:  # pragma: no cover
-                from jax.experimental.shard_map import shard_map  # type: ignore
-
-            ax = self._axis
-
-            def local(oriented, lengths, a_oid, b_oid, d0):
-                c, i0, ie, je, wn = compute(oriented, lengths, a_oid, b_oid, d0)
-                out = jnp.stack([c, i0, ie, je, wn], axis=1)  # [m, 5]
-                return jax.lax.all_gather(out, ax, axis=0, tiled=True)
-
-            sm = shard_map(
-                local,
-                mesh=self._mesh,
-                in_specs=(P(), P(), P(ax), P(ax), P(ax)),
-                out_specs=P(),
-                # all_gather replicates the output; the static varying-axes
-                # checker cannot infer that
-                check_vma=False,
-            )
-            shard = NamedSharding(self._mesh, P(ax))
-            rep = NamedSharding(self._mesh, P())
-
-            def merged(oriented, lengths, a_oid, b_oid, d0):
-                o = sm(oriented, lengths, a_oid, b_oid, d0)
-                return o[:, 0], o[:, 1], o[:, 2], o[:, 3], o[:, 4]
-
-            run = jax.jit(
-                merged, in_shardings=(rep, rep, shard, shard, shard)
-            )
-
+        run = self._wrap_run(compute)
         self._runs[key] = run
         _GLOBAL_RUNS[gkey] = run
         return run
+
+    def _wrap_run(self, compute):
+        """jit a (oriented, lengths, a_oid, b_oid, d0) -> 5-tuple compute,
+        data-parallel over the mesh's dp axis when one is configured."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._mesh is None:
+            return jax.jit(compute)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        try:  # jax >= 0.6
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map  # type: ignore
+
+        ax = self._axis
+
+        def local(oriented, lengths, a_oid, b_oid, d0):
+            c, i0, ie, je, wn = compute(oriented, lengths, a_oid, b_oid, d0)
+            out = jnp.stack([c, i0, ie, je, wn], axis=1)  # [m, 5]
+            return jax.lax.all_gather(out, ax, axis=0, tiled=True)
+
+        sm = shard_map(
+            local,
+            mesh=self._mesh,
+            in_specs=(P(), P(), P(ax), P(ax), P(ax)),
+            out_specs=P(),
+            # all_gather replicates the output; the static varying-axes
+            # checker cannot infer that
+            check_vma=False,
+        )
+        shard = NamedSharding(self._mesh, P(ax))
+        rep = NamedSharding(self._mesh, P())
+
+        def merged(oriented, lengths, a_oid, b_oid, d0):
+            o = sm(oriented, lengths, a_oid, b_oid, d0)
+            return o[:, 0], o[:, 1], o[:, 2], o[:, 3], o[:, 4]
+
+        return jax.jit(merged, in_shardings=(rep, rep, shard, shard, shard))
 
     def extend_async(
         self, a_oid: np.ndarray, b_oid: np.ndarray, d0: np.ndarray, jmax: int,

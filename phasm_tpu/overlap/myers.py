@@ -433,7 +433,11 @@ def myers_fwd_core(peq, b2T, la_rel, la, lb, d0, W: int):
     # --- final-column extraction from each pair's frozen band state ---
     # Candidates resolve ties by (cost, negsum) alone: distinct rows have
     # distinct negsum at the fixed final column, so the reduction is exact.
-    m_fr = jnp.maximum(lb - 1, 0) // WB
+    # Pairs with lb > J never reach their final column inside this bucket
+    # (engine buckets by NEEDED columns: the i == la endpoint fits, the
+    # j == lb endpoint may not) — gate their extraction off entirely.
+    reached_end = lb <= J
+    m_fr = jnp.minimum(jnp.maximum(lb - 1, 0) // WB, NB - 1)
     anchor_rel = m_fr * WB
     runs = _band_runs(VP, VN, s_top, K)  # [K*32, B]
     rel = anchor_rel[None, :] + 1 + jnp.arange(K * WB, dtype=jnp.int32)[:, None]
@@ -445,7 +449,7 @@ def myers_fwd_core(peq, b2T, la_rel, la, lb, d0, W: int):
     negsum = -(rel + lb[None, :])
     m2 = jnp.where(costs == m1[None, :], negsum, 1 << 30).min(axis=0)
     iend_fin = -m2 - lb
-    state = consider(state, m1, iend_fin, lb, m1 < MBIG)
+    state = consider(state, m1, iend_fin, lb, (m1 < MBIG) & reached_end)
 
     bc, bn, bi, bj = state
     return bc, bi, bj, jnp.maximum(wmax, wmax2)
@@ -535,14 +539,16 @@ def myers_rev_core(peq, b2T, row_off, la, lb, W: int):
 def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
     """Full traceable per-batch compute (fwd + start recovery).
 
-    a_rows [B, LA] / b_rows [B, LB] int32 codes with PAD >= 4 beyond the
-    read lengths; la/lb/d0 [B] int32.  Returns (cost, i0, iend, jend, win),
-    cost == extend.BIG when no valid endpoint (contract of dp_core)."""
+    a_rows [B, LA] / b_rows [B, LB] codes (uint8 or any int dtype) with
+    PAD >= 4 beyond the read lengths; la/lb/d0 [B] int32.  Returns
+    (cost, i0, iend, jend, win), cost == extend.BIG when no valid endpoint
+    (contract of dp_core).  Code tensors stay in their input dtype (uint8
+    in production: 4x less HBM traffic for the pad/flip/slice chain)."""
     import jax
     import jax.numpy as jnp
 
     B, LA = a_rows.shape
-    PAD = jnp.int32(4)
+    PAD = jnp.asarray(4, a_rows.dtype)
 
     # ---- forward window + peq ----
     Kf = K_of(W)
@@ -630,6 +636,18 @@ def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
     )
 
 
+def myers_compute(oriented, lengths, a_oid, b_oid, d0, *, W: int, J: int):
+    """Traceable HBM-resident entry for DeviceExtender (backend="myers"):
+    row-gathers the pair codes from the device-resident oriented matrix and
+    runs the pair core.  Output order matches the extender's contract
+    (cost, i0, iend, jend, win)."""
+    la = lengths[a_oid >> 1]
+    lb = lengths[b_oid >> 1]
+    a_rows = oriented[a_oid]  # contiguous row gather (uint8)
+    b_rows = oriented[b_oid]
+    return _myers_pair_core(a_rows, b_rows, la, lb, d0, W, J)
+
+
 _jit_myers: dict = {}
 
 
@@ -657,8 +675,8 @@ def myers_overlap_batch(
     contract; block-band semantics per myers_oracle)."""
     la = lengths[a_oid >> 1].astype(np.int32)
     lb = lengths[b_oid >> 1].astype(np.int32)
-    a_rows = oriented[a_oid].astype(np.int32)
-    b_rows = oriented[b_oid].astype(np.int32)
+    a_rows = oriented[a_oid]
+    b_rows = oriented[b_oid]
     run = _get_jit_myers(band, jmax)
     cost, i0, iend, jend, win = run(
         a_rows, b_rows, la, lb, d0.astype(np.int32)

@@ -129,3 +129,83 @@ def test_myers_extend_result_contract():
     assert (res.b_start == 0).all()
     assert (res.diffs < M.MBIG).all()
     assert (res.a_end >= res.a_start).all()
+
+
+# ---------------------------------------------------------------------------
+# production-engine integration (backend="myers")
+# ---------------------------------------------------------------------------
+
+
+def _sim():
+    from phasm_tpu.sim import simulate_reads
+
+    return simulate_reads(
+        seed=7, genome_len=12_000, ploidy=1, coverage=10, mean_read_len=2500,
+        error_rate=0.05, read_len_spread=0.2,
+    )
+
+
+def test_engine_myers_backend_recall_and_determinism():
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+
+    rs, truth = _sim()
+    cfg = OverlapConfig(backend="myers")
+    t = overlap_reads(rs, cfg)
+    t2 = overlap_reads(rs, cfg)
+    assert np.array_equal(t.as_matrix(), t2.as_matrix())
+
+    pos = truth.read_pos.astype(np.int64)
+    end = pos + rs.lengths
+    want = {
+        (i, j)
+        for i in range(rs.n_reads)
+        for j in range(i + 1, rs.n_reads)
+        if min(end[i], end[j]) - max(pos[i], pos[j]) >= 1500
+    }
+    got = set(zip(t.a_id.tolist(), t.b_id.tolist()))
+    recall = len(got & want) / max(len(want), 1)
+    assert recall >= 0.95, f"engine recall {recall}"
+
+    # vs the W-band backend: same pairs found; on common pairs the
+    # block-band cost is never worse (superset coverage) and endpoints
+    # agree almost everywhere (tie-break differences only)
+    tb = overlap_reads(rs, OverlapConfig(backend="jnp"))
+    key = lambda tt: list(zip(tt.a_id.tolist(), tt.b_id.tolist(), tt.strand.tolist()))
+    dm = dict(zip(key(t), zip(t.diffs.tolist(), t.a_end.tolist(), t.b_end.tolist())))
+    db = dict(zip(key(tb), zip(tb.diffs.tolist(), tb.a_end.tolist(), tb.b_end.tolist())))
+    common = set(dm) & set(db)
+    assert len(common) >= 0.98 * max(len(dm), len(db))
+    worse = sum(dm[k][0] > db[k][0] for k in common)
+    assert worse == 0, f"{worse} pairs with worse myers cost"
+    same_end = sum(dm[k][1:] == db[k][1:] for k in common) / len(common)
+    assert same_end >= 0.95, f"endpoint agreement {same_end}"
+
+
+def test_engine_myers_on_mesh_matches_single_device():
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.parallel import make_mesh
+
+    rs, _ = _sim()
+    cfg = OverlapConfig(backend="myers")
+    t1 = overlap_reads(rs, cfg)
+    t8 = overlap_reads(rs, cfg, mesh=make_mesh(8))
+    assert len(t1) > 100
+    assert np.array_equal(t1.as_matrix(), t8.as_matrix())
+
+
+def test_full_pipeline_with_myers_backend():
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.pipeline import PipelineConfig, assemble
+    from phasm_tpu.sim import simulate_reads
+
+    rs, truth = simulate_reads(
+        seed=7, genome_len=15_000, ploidy=1, coverage=12, mean_read_len=3000,
+        error_rate=0.05, read_len_spread=0.2,
+    )
+    t = overlap_reads(rs, OverlapConfig(backend="myers"))
+    cfg = PipelineConfig(
+        min_overlap_length=500, max_error_rate=0.16, length_fuzz=500
+    )
+    res = assemble(rs, t, cfg)
+    assert res.stats["n_contigs"] == 1
+    assert len(res.contigs[0][1]) > 0.9 * 15_000
