@@ -56,7 +56,9 @@ class PhaseConfig:
     ploidy: int = 2
     prune_factor: float = 0.01  # relative-likelihood prune threshold
     max_candidates: int = 64  # frontier cap (padded tensor width)
-    max_paths: int = 16  # per-bubble simple-path cap
+    max_paths: int = 32  # per-bubble simple-path cap (tangled bubbles on
+    # clustered-het data need > 16: the pure-haplotype path of a 11-node
+    # tangle sat at enumeration index 19 — round-2 purity diagnostic)
     err: float = 1e-3  # P(read | inconsistent haplotype)
     coverage_weight: float = 0.25  # weight of the coverage model term
     max_extensions: int = 4096  # cap on |paths|^k before CWR fallback
@@ -122,6 +124,15 @@ def read_touch_errs(
 
     ovl = np.maximum(aln.overlap_length(), 1)
     err = aln.diffs / ovl
+    # sharpen with the windowed-divergence statistic where available: a
+    # cross-haplotype overlap that only clips a het zone is flank-diluted in
+    # whole-overlap error (indistinguishable from same-hap within the
+    # margin) but its worst WINDOW-column span is not (filter.py window
+    # policy, here reused as touch evidence)
+    if getattr(aln, "win", None) is not None:
+        from phasm_tpu.overlap.extend import WINDOW
+
+        err = np.maximum(err, aln.win / WINDOW)
     for a, b, e in zip(aln.a_id.tolist(), aln.b_id.tolist(), err.tolist()):
         pa, pb = int(pair_of_read[a]), int(pair_of_read[b])
         if pb >= 0:
@@ -143,13 +154,23 @@ def consistent_paths(
 ) -> np.ndarray:
     """Boolean [P]: which bubble paths a read (with relevant arm errs) supports.
 
-    The read supports every path containing at least one arm whose divergence
-    is within a margin of the read's best arm.
-    """
+    The read supports the path(s) containing the MOST arms whose divergence
+    is within a margin of the read's best arm.  Any-intersection (the round-1
+    rule) was degenerate on tangled bubbles: a read whose clean touches were
+    {u15, u13, u37} "supported" a crossed path containing only u15 exactly as
+    much as the pure path containing all three, so spanning-read linkage
+    never disambiguated within-bubble haplotype crossings (observed as
+    phase-swapped arms inside one bubble, the round-2 purity diagnostic).
+    Maximal intersection restores the constraint while staying robust to
+    touches through locally-identical segments (ties support both arms)."""
     emin = min(rel.values())
     thr = emin + margin_abs + margin_rel * emin
     cons = {u for u, e in rel.items() if e <= thr}
-    return np.array([bool(cons & ps) for ps in pairsets_i], dtype=bool)
+    ov = np.array([len(cons & ps) for ps in pairsets_i], dtype=np.int64)
+    best = ov.max() if ov.size else 0
+    if best == 0:
+        return np.zeros(len(pairsets_i), dtype=bool)
+    return ov == best
 
 
 # ----------------------------------------------------------------------------
@@ -449,6 +470,71 @@ def phase_chain(
         read_assignment=assignment,
         phase_breaks=phase_breaks,
     )
+
+
+def refine_assignment_by_window_excess(
+    assignment: dict[int, list[int]],
+    aln: AlignmentTable,
+    e_read: np.ndarray,
+    k: int,
+    z: float = 6.0,
+    min_excess: float = 12.0,
+    rounds: int = 2,
+) -> dict[int, list[int]]:
+    """Propagate haplotype assignment into ANCHOR reads by corroborated
+    window-excess incompatibility.
+
+    The phaser only assigns reads that touch bubble arms; reads whose member
+    unitig is an anchor stay unassigned, and het sites that fall INSIDE a
+    mixed anchor (bubble boundaries lag hotspot boundaries by up to a read
+    length) get polished by both haplotypes' reads — the dominant residual
+    impurity of round 2 (purity stuck at 0.84 with every wrong site in an
+    anchor).  Rule, mirroring filter.corroborate_window_excess semantics: a
+    read is EXCLUDED from haplotype m when its overlaps to >= 2 DISTINCT
+    reads uniquely assigned to m show window excess beyond the pair's
+    Poisson expectation (win > mu + max(z*sqrt(mu), min_excess)).  Exclusion
+    only — never flips an existing assignment; reads with no excess evidence
+    stay unassigned (they only vote where haplotypes agree).
+
+    Reference: phasm/phasing.py assigns reads to haplotypes from bubble-arm
+    consistency only; anchor-interior het sites are below its resolution —
+    this pass is beyond-reference, required for the >= 0.99 allele-purity
+    target (BASELINE.md bit-identical row).
+    """
+    if getattr(aln, "win", None) is None or len(aln) == 0:
+        return assignment
+    from phasm_tpu.overlap.extend import WINDOW
+
+    mu = (e_read[aln.a_id] + e_read[aln.b_id]) * WINDOW
+    thr = mu + np.maximum(z * np.sqrt(mu), min_excess)
+    rows = np.nonzero(aln.win > thr)[0]
+    if rows.shape[0] == 0:
+        return assignment
+    assignment = {r: list(v) for r, v in assignment.items()}
+    aid, bid = aln.a_id, aln.b_id
+    for _ in range(rounds):
+        uniq = {r: v[0] for r, v in assignment.items() if len(v) == 1}
+        votes: dict[int, dict[int, set]] = {}
+        for i in rows:
+            a, b = int(aid[i]), int(bid[i])
+            for x, y in ((a, b), (b, a)):
+                my = uniq.get(y)
+                if my is not None:
+                    votes.setdefault(x, {}).setdefault(my, set()).add(y)
+        changed = False
+        for x, vm in votes.items():
+            excl = {m for m, ys in vm.items() if len(ys) >= 2}
+            if not excl:
+                continue
+            cand = assignment.get(x, list(range(k)))
+            new = [m for m in cand if m not in excl]
+            if new != cand:
+                assignment[x] = new
+                changed = True
+                metrics.incr("phasing.anchor_reads_refined")
+        if not changed:
+            break
+    return assignment
 
 
 def phase_all(
