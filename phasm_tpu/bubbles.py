@@ -126,7 +126,29 @@ def build_chains(g: UnitigGraph, bubbles: list[SuperBubble]) -> list[BubbleChain
     The RC dual of a chain (over rc-unitigs, reversed) describes the same
     genomic region; we keep the orientation whose entrance unitig id is
     smaller (deterministic tie-break).
+
+    Nested superbubbles are dropped first: a bubble lying entirely inside
+    another bubble's interior (e.g. threshold-fragmentation of one arm
+    creating a micro-bubble within a het bubble) duplicates a region the
+    outer bubble's path enumeration already covers — phasing it separately
+    emitted the same locus twice (round-2 36 kb fixture: a 2-singleton
+    sub-bubble became its own chain with ~0.8-purity duplicate haplotigs).
+    Ref: phasm/bubbles.py chains MINIMAL superbubbles; our path enumeration
+    is over the full outer interior, so outermost-only is the consistent
+    choice here.
     """
+    outer: list[SuperBubble] = []
+    for b in bubbles:
+        nested = any(
+            o is not b
+            and b.entrance in o.interior
+            and b.exit in o.interior
+            and set(b.interior) <= set(o.interior)
+            for o in bubbles
+        )
+        if not nested:
+            outer.append(b)
+    bubbles = outer
     by_entrance = {b.entrance: b for b in bubbles}
     is_exit = {b.exit for b in bubbles}
 

@@ -71,3 +71,32 @@ def build_string_graph(
 
     g = StringGraph(n_nodes, src, dst, elen, ovl_all, node_len)
     return g.canonicalize()
+
+
+def edge_dirty_mask(
+    g: StringGraph, t: AlignmentTable, types: np.ndarray, dirty_rows: np.ndarray
+) -> np.ndarray:
+    """Map a per-ROW dirty flag onto g's canonical edge order.
+
+    Re-derives the same (src, dst) emissions as :func:`build_string_graph`
+    (both duals inherit their row's flag) and marks a canonical edge dirty
+    when ANY generating row is dirty — pessimistic on the rare duplicate
+    (src, dst) pair, which only strengthens the transitive-reduction veto
+    (see transitive.reduce_mask_np).
+    """
+    ab = types == int(AlignmentType.OVERLAP_AB)
+    ba = types == int(AlignmentType.OVERLAP_BA)
+    oa = (2 * t.a_id).astype(np.int64)
+    ob = (2 * t.b_id + t.strand).astype(np.int64)
+    s = np.concatenate([oa[ab], (ob ^ 1)[ab], ob[ba], (oa ^ 1)[ba]])
+    d = np.concatenate([ob[ab], (oa ^ 1)[ab], oa[ba], (ob ^ 1)[ba]])
+    f = np.concatenate([dirty_rows[ab], dirty_rows[ab],
+                        dirty_rows[ba], dirty_rows[ba]]).astype(np.int64)
+    keys = s * g.n_nodes + d
+    order = np.argsort(keys, kind="stable")
+    ks, fs = keys[order], f[order]
+    gkeys = g.src.astype(np.int64) * g.n_nodes + g.dst.astype(np.int64)
+    lo = np.searchsorted(ks, gkeys, side="left")
+    hi = np.searchsorted(ks, gkeys, side="right")
+    csum = np.concatenate([[0], np.cumsum(fs)])
+    return (csum[hi] - csum[lo]) > 0

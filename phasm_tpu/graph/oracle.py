@@ -17,9 +17,20 @@ def to_adj(g: StringGraph) -> dict[int, dict[int, int]]:
     return adj
 
 
-def transitive_edges_oracle(g: StringGraph, fuzz: int) -> set[tuple[int, int]]:
-    """Declarative fuzz rule, nested loops (same rule as transitive.py)."""
+def transitive_edges_oracle(
+    g: StringGraph, fuzz: int, dirty=None
+) -> set[tuple[int, int]]:
+    """Declarative fuzz rule, nested loops (same rule as transitive.py).
+
+    ``dirty``: optional [E] bool aligned with g's edges — marginal-edge veto
+    (a witness path containing a dirty edge cannot eliminate a clean edge).
+    """
     adj = to_adj(g)
+    dset: set[tuple[int, int]] = set()
+    if dirty is not None:
+        for s, d, f in zip(g.src.tolist(), g.dst.tolist(), dirty.tolist()):
+            if f:
+                dset.add((int(s), int(d)))
     out = set()
     for v, nbrs in adj.items():
         for x, vx in nbrs.items():
@@ -27,9 +38,13 @@ def transitive_edges_oracle(g: StringGraph, fuzz: int) -> set[tuple[int, int]]:
                 if w == x or w == v:
                     continue
                 wx = adj.get(w, {}).get(x)
-                if wx is not None and vw + wx <= vx + fuzz:
-                    out.add((v, x))
-                    break
+                if wx is None or vw + wx > vx + fuzz:
+                    continue
+                witness_dirty = (v, w) in dset or (w, x) in dset
+                if witness_dirty and (v, x) not in dset:
+                    continue  # veto: dirty witness cannot kill a clean edge
+                out.add((v, x))
+                break
     return out
 
 

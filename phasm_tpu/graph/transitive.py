@@ -28,7 +28,9 @@ import numpy as np
 from phasm_tpu.graph.structure import StringGraph
 
 
-def _padded_adjacency(g: StringGraph, pad_to: int | None = None):
+def _padded_adjacency(
+    g: StringGraph, pad_to: int | None = None, dirty: np.ndarray | None = None
+):
     """[n_nodes, D] neighbor ids + elens + mask from canonical edges."""
     outdeg = g.out_degree()
     d_max = int(outdeg.max()) if outdeg.shape[0] and g.n_edges else 0
@@ -42,23 +44,54 @@ def _padded_adjacency(g: StringGraph, pad_to: int | None = None):
     slot = np.arange(g.n_edges, dtype=np.int64) - offsets[g.src]
     nbr[g.src, slot] = g.dst
     nel[g.src, slot] = g.elen
-    return nbr, nel, nbr >= 0
+    if dirty is None:
+        return nbr, nel, nbr >= 0
+    ndirty = np.zeros((g.n_nodes, d_max), dtype=bool)
+    ndirty[g.src, slot] = dirty
+    return nbr, nel, nbr >= 0, ndirty
 
 
-def reduce_mask_np(g: StringGraph, fuzz: int) -> np.ndarray:
-    """Boolean [E] mask: True = edge is transitive (to be removed)."""
+def reduce_mask_np(
+    g: StringGraph, fuzz: int, dirty: np.ndarray | None = None
+) -> np.ndarray:
+    """Boolean [E] mask: True = edge is transitive (to be removed).
+
+    ``dirty`` (optional [E] bool): marginal-evidence edges — overlaps whose
+    windowed divergence exceeds the pair's error expectation but survived
+    the 6-sigma filter (likely cross-haplotype "zipper" edges).  Veto rule:
+    a witness path containing a dirty edge cannot eliminate a CLEAN edge.
+    Rationale (round-2 purity diagnosis): a marginal cross-hap edge
+    arm_h0 -> arm_h1 otherwise eliminates the true parallel edge
+    anchor -> arm_h1, concatenating both haplotypes' arms in series — a
+    phase swap downstream phasing cannot undo.  Dirty edges may still
+    eliminate each other, and clean witness paths behave exactly as before
+    (dirty=None is bit-identical to the unvetoed rule).
+    """
     if g.n_edges == 0:
         return np.zeros(0, dtype=bool)
-    nbr, nel, valid = _padded_adjacency(g)
+    if dirty is None:
+        dirty = np.zeros(g.n_edges, dtype=bool)
+    nbr, nel, valid, ndirty = _padded_adjacency(g, dirty=dirty)
     # For each edge e = (v, x): candidate mids w = nbr[v, :]
     v = g.src.astype(np.int64)
     x = g.dst.astype(np.int64)
     w = nbr[v]  # [E, D]
     wl = nel[v]  # [E, D] elen(v, w)
+    wd = ndirty[v]  # [E, D] dirty(v, w)
     ok = valid[v] & (w != x[:, None]) & (w != v[:, None])
-    # lookup elen(w, x) for each (w, x)
-    ex, wx_len = g.has_edges(np.where(ok, w, 0), np.broadcast_to(x[:, None], w.shape))
-    cond = ok & ex & (wl + wx_len <= g.elen.astype(np.int64)[:, None] + fuzz)
+    # lookup elen(w, x) + dirty(w, x) for each (w, x)
+    keys = g.src.astype(np.int64) * g.n_nodes + g.dst.astype(np.int64)
+    q = np.where(ok, w, 0) * g.n_nodes + x[:, None]
+    pos = np.minimum(np.searchsorted(keys, q), keys.shape[0] - 1)
+    ex = keys[pos] == q
+    wx_len = np.where(ex, g.elen.astype(np.int64)[pos], 0)
+    wx_dirty = ex & dirty[pos]
+    witness_dirty = wd | wx_dirty
+    cond = (
+        ok & ex
+        & (wl + wx_len <= g.elen.astype(np.int64)[:, None] + fuzz)
+        & ~(witness_dirty & ~dirty[:, None])
+    )
     return np.any(cond, axis=1)
 
 
@@ -73,7 +106,8 @@ def _get_jit_reduce():
         import jax.numpy as jnp
 
         @jax.jit
-        def run(src, dst, elen, keys, edge_elen, nbr, nel, valid, fuzz):
+        def run(src, dst, elen, keys, edge_elen, nbr, nel, valid, fuzz,
+                edge_dirty, ndirty):
             n_nodes = nbr.shape[0]
             v, x = src, dst
             w = nbr[v]
@@ -83,7 +117,11 @@ def _get_jit_reduce():
             pos = jnp.clip(jnp.searchsorted(keys, q), 0, keys.shape[0] - 1)
             ex = keys[pos] == q
             wx_len = jnp.where(ex, edge_elen[pos], 0)
-            cond = ok & ex & (wl + wx_len <= elen[:, None] + fuzz)
+            witness_dirty = ndirty[v] | (ex & edge_dirty[pos])
+            cond = (
+                ok & ex & (wl + wx_len <= elen[:, None] + fuzz)
+                & ~(witness_dirty & ~edge_dirty[:, None])
+            )
             return jnp.any(cond, axis=1)
 
         _jit_reduce = run
@@ -97,27 +135,35 @@ def _pow2(n: int, lo: int) -> int:
     return p
 
 
-def reduce_mask_jax(g: StringGraph, fuzz: int) -> np.ndarray:
+def reduce_mask_jax(
+    g: StringGraph, fuzz: int, dirty: np.ndarray | None = None
+) -> np.ndarray:
     """Same rule as :func:`reduce_mask_np`, as a jit-compiled jnp program.
 
     Edge count and node count are padded to powers of two (and out-degree to
     a multiple of 8), so the jit variant set stays finite across datasets —
     the same bucketing discipline as the extension kernels (fuzz is a traced
     scalar, so changing it never recompiles).  The numpy version is the
-    oracle cross-check.
+    oracle cross-check.  ``dirty`` applies the marginal-edge veto (see
+    :func:`reduce_mask_np`); all-clean inputs are bit-identical to the
+    unvetoed rule.
     """
     if g.n_edges == 0:
         return np.zeros(0, dtype=bool)
-    nbr, nel, valid = _padded_adjacency(g, pad_to=8)
+    if dirty is None:
+        dirty = np.zeros(g.n_edges, dtype=bool)
+    nbr, nel, valid, ndirty = _padded_adjacency(g, pad_to=8, dirty=dirty)
     E, N = g.n_edges, g.n_nodes
     Ep, Np = _pow2(E, 256), _pow2(N, 256)
     if Np != N:
         nbr = np.pad(nbr, ((0, Np - N), (0, 0)), constant_values=-1)
         nel = np.pad(nel, ((0, Np - N), (0, 0)))
         valid = np.pad(valid, ((0, Np - N), (0, 0)))
+        ndirty = np.pad(ndirty, ((0, Np - N), (0, 0)))
     src = np.pad(g.src.astype(np.int64), (0, Ep - E))
     dst = np.pad(g.dst.astype(np.int64), (0, Ep - E))
     elen = np.pad(g.elen.astype(np.int64), (0, Ep - E))
+    edge_dirty = np.pad(dirty, (0, Ep - E))
     # keys must use the PADDED node count (q below multiplies by nbr.shape[0]);
     # canonical (src, dst) order keeps them sorted for any multiplier.  Keys
     # go through jax as int32 (x64 is disabled), so Np*Np must fit — callers
@@ -131,22 +177,29 @@ def reduce_mask_jax(g: StringGraph, fuzz: int) -> np.ndarray:
         (0, Ep - E), mode="edge",
     )
     out = _get_jit_reduce()(
-        src, dst, elen, keys, elen, nbr, nel, valid, np.int64(fuzz)
+        src, dst, elen, keys, elen, nbr, nel, valid, np.int64(fuzz),
+        edge_dirty, ndirty,
     )
     return np.asarray(out)[:E]
 
 
 def remove_transitive_edges(
-    g: StringGraph, fuzz: int = 1000, impl: str = "np"
+    g: StringGraph, fuzz: int = 1000, impl: str = "np",
+    dirty: np.ndarray | None = None,
 ) -> StringGraph:
     """Drop transitive edges (ref: remove_transitive_edges(g, length_fuzz)).
 
     impl: "np" | "jax" | "auto" — auto routes large graphs through the jit
     edge-tensor pass (the vectorized device path) and keeps tiny graphs on
-    the numpy oracle, where host latency wins.
+    the numpy oracle, where host latency wins.  ``dirty`` ([E] bool,
+    optional) applies the marginal-edge veto — see :func:`reduce_mask_np`.
     """
     if impl == "auto":
         fits_i32 = _pow2(g.n_nodes, 256) <= 46_340
         impl = "jax" if (g.n_edges >= 4096 and fits_i32) else "np"
-    mask = reduce_mask_np(g, fuzz) if impl == "np" else reduce_mask_jax(g, fuzz)
+    mask = (
+        reduce_mask_np(g, fuzz, dirty)
+        if impl == "np"
+        else reduce_mask_jax(g, fuzz, dirty)
+    )
     return g.take_edges(~mask)

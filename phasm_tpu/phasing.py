@@ -310,8 +310,17 @@ def phase_chain(
                 M[ri, :] = True  # no constraint at this bubble
                 continue
             act[ri] = True
-            acted.setdefault(r, []).append(i)
-            M[ri, :] = consistent_paths(rel, pairsets[i], cfg.margin_abs, cfg.margin_rel)
+            row = consistent_paths(rel, pairsets[i], cfg.margin_abs, cfg.margin_rel)
+            M[ri, :] = row
+            # linkage bookkeeping: only a read that ELIMINATES >= 1 path
+            # imposes a real constraint.  A read whose touches sit in the
+            # identical inter-hotspot background aligns equally well to every
+            # arm (row all-True) — counting it as "acting" fabricates
+            # cross-bubble linkage and suppresses phase breaks (the round-2
+            # 36 kb diagnosis: chimeric spanning haplotigs at ~0.6 purity
+            # instead of split pure phase blocks)
+            if not row.all():
+                acted.setdefault(r, []).append(i)
 
         # extensions: ordered assignments; CWR fallback when P^k too large
         if P**k <= cfg.max_extensions:

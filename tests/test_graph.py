@@ -198,3 +198,76 @@ def test_stage2_end_to_end_haploid():
     # unitig spans the covered genome region -> must be a substring of genome
     assert s in gstr or s in grc
     assert seq.shape[0] > 0.9 * genome.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# marginal-edge (dirty) veto in transitive reduction: a witness path through
+# a marginal cross-haplotype edge must not eliminate a clean parallel edge
+# (the round-2 "zipper" purity mechanism — transitive.reduce_mask_np veto)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(6))
+def test_transitive_dirty_veto_property(seed):
+    rng = np.random.default_rng(300 + seed)
+    g = random_graph(rng, n_reads=20, n_edges=80)
+    dirty = rng.random(g.n_edges) < 0.3
+    for fuzz in (0, 25, 1000):
+        m_np = reduce_mask_np(g, fuzz, dirty)
+        m_jx = reduce_mask_jax(g, fuzz, dirty)
+        got = {(int(g.src[i]), int(g.dst[i])) for i in np.nonzero(m_np)[0]}
+        want = transitive_edges_oracle(g, fuzz, dirty)
+        assert got == want, f"fuzz={fuzz}"
+        assert np.array_equal(m_np, m_jx), f"fuzz={fuzz}"
+        # veto never REMOVES more than the unvetoed rule
+        assert not np.any(m_np & ~reduce_mask_np(g, fuzz))
+
+
+def test_transitive_dirty_veto_rescues_parallel_arm():
+    # anchor A -> {arm0, arm1} -> B with a marginal zipper edge arm0 -> arm1:
+    # unvetoed reduction eliminates A->arm1 (and arm0->B) via the zipper,
+    # serializing the two arms; the veto keeps the parallel bubble intact.
+    A, arm0, arm1, B = 0, 2, 4, 6
+    edges = [
+        (A, arm0, 100), (A, arm1, 200),
+        (arm0, arm1, 100), (arm0, B, 300),
+        (arm1, B, 200),
+    ]
+    src, dst, elen = (np.array(x) for x in zip(*edges))
+    g = StringGraph(8, src, dst, elen, np.full(5, 500),
+                    np.full(8, 1000, np.int32)).canonicalize()
+    zipper = (g.src == arm0) & (g.dst == arm1)
+    assert zipper.sum() == 1
+
+    m_plain = reduce_mask_np(g, fuzz=10)
+    removed_plain = {(int(g.src[i]), int(g.dst[i])) for i in np.nonzero(m_plain)[0]}
+    assert (A, arm1) in removed_plain and (arm0, B) in removed_plain
+
+    m_veto = reduce_mask_np(g, fuzz=10, dirty=zipper)
+    removed_veto = {(int(g.src[i]), int(g.dst[i])) for i in np.nonzero(m_veto)[0]}
+    assert (A, arm1) not in removed_veto and (arm0, B) not in removed_veto
+    assert np.array_equal(m_veto, reduce_mask_jax(g, fuzz=10, dirty=zipper))
+
+
+def test_cut_dirty_chords():
+    from phasm_tpu.graph.pop import cut_dirty_chords
+
+    # post-veto bubble with a dirty chord arm0 -> arm1: both endpoints keep
+    # clean connectivity (arm0 -> B out, A -> arm1 in) -> chord cut
+    A, arm0, arm1, B = 0, 2, 4, 6
+    edges = [(A, arm0, 100), (A, arm1, 200), (arm0, arm1, 100),
+             (arm0, B, 300), (arm1, B, 200)]
+    src, dst, elen = (np.array(x) for x in zip(*edges))
+    g = StringGraph(8, src, dst, elen, np.full(5, 500),
+                    np.full(8, 1000, np.int32)).canonicalize()
+    dirty = (g.src == arm0) & (g.dst == arm1)
+    out, n = cut_dirty_chords(g, dirty)
+    assert n == 1 and out.n_edges == 4
+    assert not np.any((out.src == arm0) & (out.dst == arm1))
+
+    # an arm reachable ONLY through the dirty edge keeps it (connectivity
+    # dominates): remove A -> arm1 so the chord is arm1's only in-edge
+    keep_mask = ~((g.src == A) & (g.dst == arm1))
+    g2 = g.take_edges(keep_mask)
+    dirty2 = (g2.src == arm0) & (g2.dst == arm1)
+    out2, n2 = cut_dirty_chords(g2, dirty2)
+    assert n2 == 0 and out2.n_edges == g2.n_edges

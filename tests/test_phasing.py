@@ -291,8 +291,12 @@ def test_pipeline_assemble_spaced_diploid():
         hotspots=4, hotspot_rate=0.08, hotspot_width=2000, read_len_spread=0.2,
     )
     t = truth_alignments(rs, truth, min_overlap=800, cross_hap=True)
+    # split_phase_blocks=False: this test exercises the chain-level path
+    # (genome-spanning haplotigs); evidence-free gaps between hotspots would
+    # otherwise split honestly into per-hotspot phase blocks (test_purity)
     cfg = PipelineConfig(min_overlap_length=800, max_error_rate=0.005,
-                         length_fuzz=200, evidence_max_error=0.02)
+                         length_fuzz=200, evidence_max_error=0.02,
+                         split_phase_blocks=False)
     res = assemble(rs, t, cfg)
     assert res.stats["n_chains"] == 1
     assert res.stats["n_haplotigs"] == 2
@@ -347,8 +351,15 @@ def test_noisy_diploid_full_production_path():
     res = assemble(rs, t, cfg)
     assert res.stats["n_chains"] >= 1
     assert res.stats["n_haplotigs"] >= 2
-    total_len = sum(len(s) for _, s in res.haplotigs[:2])
-    assert total_len > 1.5 * 60_000  # both haplotigs roughly genome-spanning
+    # production defaults split at evidence-free gaps (phase blocks); each
+    # HAPLOTYPE's blocks together must still span (nearly) the whole genome
+    per_hap: dict[str, int] = {}
+    for name, s in res.haplotigs:
+        hap = name.split("_b")[0]
+        per_hap[hap] = per_hap.get(hap, 0) + len(s)
+    assert len(per_hap) >= 2, per_hap
+    total_two = sum(sorted(per_hap.values())[-2:])
+    assert total_two > 1.5 * 60_000, per_hap
 
     res2 = assemble(rs, t, cfg)
     assert [(n, s.tobytes()) for n, s in res.haplotigs] == [

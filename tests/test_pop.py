@@ -193,3 +193,84 @@ def test_consensus_polish_improves_accuracy():
         accs[pol] = accuracy_est(res.contigs[0][1], truth.haplotypes[0])
     assert accs[True] >= 0.99, accs
     assert accs[True] > accs[False] + 0.02, accs
+
+
+# ---------------------------------------------------------------------------
+# zipper cut: unitig-level pooled window statistics (graph/pop.py
+# :: cut_zipper_edges) — the per-row 6-sigma filter cannot separate marginal
+# cross-haplotype junction edges; the pooled junction evidence can.
+# ---------------------------------------------------------------------------
+
+def _zipper_fixture(rows, n_edges=2):
+    """Two unitigs (plus rc duals) joined by edge u0->u2 and its dual u3->u1."""
+    import dataclasses
+
+    from phasm_tpu.alignments import AlignmentTable
+    from phasm_tpu.graph.unitigs import UnitigGraph
+
+    members = [
+        np.array([0, 2, 4]),     # u0: reads 0,1,2 fwd
+        np.array([5, 3, 1]),     # u1 = rc(u0)
+        np.array([6, 8, 10]),    # u2: reads 3,4,5 fwd
+        np.array([11, 9, 7]),    # u3 = rc(u2)
+    ]
+    offsets = [np.array([0, 100, 200])] * 4
+    ug = UnitigGraph(
+        members=members, offsets=offsets,
+        length=np.array([300, 300, 300, 300]),
+        rc=np.array([1, 0, 3, 2]),
+        src=np.array([0, 3][:n_edges], dtype=np.int32),
+        dst=np.array([2, 1][:n_edges], dtype=np.int32),
+        elen=np.arange(n_edges, dtype=np.int32) + 250,
+        ovl=np.arange(n_edges, dtype=np.int32) + 50,
+    )
+    r = np.array(rows, dtype=np.int32)
+    z = np.zeros(r.shape[0], dtype=np.int32)
+    aln = AlignmentTable(
+        a_id=r[:, 0], b_id=r[:, 1], strand=z, a_start=z, a_end=z + 400,
+        b_start=z, b_end=z + 400, diffs=z + 8, win=r[:, 2],
+    )
+    e_read = np.full(6, 0.01)  # mu per row = 0.02 * 256 = 5.12 window edits
+    return ug, aln, e_read
+
+
+def test_zipper_edge_cut_with_dual():
+    from phasm_tpu.graph.pop import cut_zipper_edges
+
+    # two DISJOINT cross-junction pairs, both ~4 sigma over expectation
+    # (win 14 vs mu 5.12, sd 2.26): pooled ~5.6 sigma -> cut edge AND dual
+    ug, aln, e = _zipper_fixture([(0, 3, 14), (1, 4, 14)])
+    out, n_cut = cut_zipper_edges(ug, aln, e, n_reads=6)
+    assert n_cut == 2
+    assert out.n_edges == 0
+
+
+def test_zipper_kept_when_clean_supporter_exists():
+    from phasm_tpu.graph.pop import cut_zipper_edges
+
+    # one clean row (win 5 ~ expectation) among the junction evidence:
+    # a legitimate same-haplotype junction always has one -> keep
+    ug, aln, e = _zipper_fixture([(0, 3, 14), (1, 4, 14), (2, 5, 5)])
+    out, n_cut = cut_zipper_edges(ug, aln, e, n_reads=6)
+    assert n_cut == 0
+    assert out.n_edges == 2
+
+
+def test_zipper_kept_without_disjoint_corroboration():
+    from phasm_tpu.graph.pop import cut_zipper_edges
+
+    # both excess rows share read 0 (a single read's dense-error patch can
+    # flag every row it participates in) -> not corroborated -> keep
+    ug, aln, e = _zipper_fixture([(0, 3, 14), (0, 4, 14)])
+    out, n_cut = cut_zipper_edges(ug, aln, e, n_reads=6)
+    assert n_cut == 0
+    assert out.n_edges == 2
+
+
+def test_zipper_kept_single_row():
+    from phasm_tpu.graph.pop import cut_zipper_edges
+
+    ug, aln, e = _zipper_fixture([(0, 3, 20)])
+    out, n_cut = cut_zipper_edges(ug, aln, e, n_reads=6)
+    assert n_cut == 0
+    assert out.n_edges == 2
