@@ -536,21 +536,15 @@ def myers_rev_core(peq, b2T, row_off, la, lb, W: int):
     return bc, br
 
 
-def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
-    """Full traceable per-batch compute (fwd + start recovery).
+def _fwd_prep(a_rows, b_rows, la, lb, d0, W: int, J: int):
+    """Forward window construction (shared by the jnp and Pallas cores).
 
-    a_rows [B, LA] / b_rows [B, LB] codes (uint8 or any int dtype) with
-    PAD >= 4 beyond the read lengths; la/lb/d0 [B] int32.  Returns
-    (cost, i0, iend, jend, win), cost == extend.BIG when no valid endpoint
-    (contract of dp_core).  Code tensors stay in their input dtype (uint8
-    in production: 4x less HBM traffic for the pad/flip/slice chain)."""
+    Returns (peq_f [NBLK, 4, B] uint32, b2T [J, B], la_rel [B], m0 [B])."""
     import jax
     import jax.numpy as jnp
 
-    B, LA = a_rows.shape
+    LA = a_rows.shape[1]
     PAD = jnp.asarray(4, a_rows.dtype)
-
-    # ---- forward window + peq ----
     Kf = K_of(W)
     NBLK = J // WB + Kf
     R = NBLK * WB
@@ -577,14 +571,19 @@ def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
         b_rows, ((0, 0), (0, J - LB)), constant_values=4
     ).T[:J]
     b2T = jnp.where(jcol < lb[None, :], b_src, PAD)
-
     la_rel = la - m0 * WB
-    cost_f, iend_rel, jend, win = myers_fwd_core(
-        peq_f, b2T, la_rel, la, lb, d0, W
-    )
-    iend = iend_rel + m0 * WB
+    return peq_f, b2T, la_rel, m0
 
-    # ---- reverse window (reversed consumed prefixes) + peq ----
+
+def _rev_prep(a_rows, b_rows, la, lb, iend, jend, d0, W: int, J: int):
+    """Reverse window construction over the reversed consumed prefixes.
+
+    Returns (peq_r [NBLKr, 4, B] uint32, b2T_r [J, B], row_off [B])."""
+    import jax
+    import jax.numpy as jnp
+
+    LA = a_rows.shape[1]
+    PAD = jnp.asarray(4, a_rows.dtype)
     Kr = rev_K(W)
     NBLKr = J // WB + Kr
     Rr = NBLKr * WB
@@ -606,6 +605,7 @@ def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
     peq_r = _build_peq(win_r, NBLKr)
 
     # brw[p, j] = b[p, jend-1-j] = b_flip[p, LB - jend + j]
+    jcol = jnp.arange(J, dtype=jnp.int32)[:, None]
     b_msk = jnp.where(
         jnp.arange(b_rows.shape[1])[None, :] < lb[:, None], b_rows, PAD
     )
@@ -618,8 +618,29 @@ def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
 
     brw = jax.vmap(slcb)(b_flip, b_rows.shape[1] - jend)
     b2T_r = jnp.where(jcol < jend[None, :], brw.T, PAD)
+    return peq_r, b2T_r, m0r * WB
 
-    cost_r, best_row = myers_rev_core(peq_r, b2T_r, m0r * WB, iend, jend, W)
+
+def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
+    """Full traceable per-batch compute (fwd + start recovery).
+
+    a_rows [B, LA] / b_rows [B, LB] codes (uint8 or any int dtype) with
+    PAD >= 4 beyond the read lengths; la/lb/d0 [B] int32.  Returns
+    (cost, i0, iend, jend, win), cost == extend.BIG when no valid endpoint
+    (contract of dp_core).  Code tensors stay in their input dtype (uint8
+    in production: 4x less HBM traffic for the pad/flip/slice chain)."""
+    import jax.numpy as jnp
+
+    peq_f, b2T, la_rel, m0 = _fwd_prep(a_rows, b_rows, la, lb, d0, W, J)
+    cost_f, iend_rel, jend, win = myers_fwd_core(
+        peq_f, b2T, la_rel, la, lb, d0, W
+    )
+    iend = iend_rel + m0 * WB
+
+    peq_r, b2T_r, row_off = _rev_prep(
+        a_rows, b_rows, la, lb, iend, jend, d0, W, J
+    )
+    cost_r, best_row = myers_rev_core(peq_r, b2T_r, row_off, iend, jend, W)
     i0 = iend - best_row
 
     # degenerate jend == 0 (can only happen alongside an invalid forward)

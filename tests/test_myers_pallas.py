@@ -1,0 +1,93 @@
+"""Pallas Myers kernels == jnp Myers cores, bit-exact (interpret mode on
+CPU; the same pallas_call compiles for TPU in production).
+
+The jnp cores are themselves pinned to the scalar oracle by
+tests/test_myers.py, so equality here chains the Pallas kernels to
+``myers.myers_oracle`` (the repo-wide oracle invariant).
+
+Reference: phasm/overlap :: DALIGNER stage (SURVEY.md §3.2).
+"""
+import numpy as np
+import pytest
+
+from phasm_tpu.overlap import myers as M
+from phasm_tpu.overlap import myers_pallas as MP
+
+from test_myers import random_overlap_case
+
+BP = MP.BLK_ROWS * 128  # 1024-pair kernel block
+
+
+def _pad_case(a, b, la, lb, d0, B_to=BP):
+    """Pad a small case to the kernel's 1024-pair block with benign pairs
+    (la=1, lb=0, d0=0 — no valid endpoint, exercised by the sentinel
+    path)."""
+    B = a.shape[0]
+    pad = B_to - B
+    a = np.pad(a, ((0, pad), (0, 0)), constant_values=9)
+    b = np.pad(b, ((0, pad), (0, 0)), constant_values=9)
+    a[B:, 0] = 0
+    la = np.pad(la, (0, pad), constant_values=1)
+    lb = np.pad(lb, (0, pad), constant_values=0)
+    d0 = np.pad(d0, (0, pad), constant_values=0)
+    return a, b, la, lb, d0
+
+
+def _run_both(a, b, la, lb, d0, W, J):
+    la = la.astype(np.int32)
+    lb = lb.astype(np.int32)
+    d0 = d0.astype(np.int32)
+    want = M._myers_pair_core(a, b, la, lb, d0, W, J)
+    got = MP.myers_pallas_pair_core(a, b, la, lb, d0, W, J, interpret=True)
+    names = ("cost", "i0", "iend", "jend", "win")
+    for n, w, g in zip(names, want, got):
+        w = np.asarray(w)
+        g = np.asarray(g)
+        bad = np.nonzero(w != g)[0]
+        assert bad.size == 0, (
+            n, bad[:10], w[bad[:10]], g[bad[:10]],
+            la[bad[:10]], lb[bad[:10]], d0[bad[:10]],
+        )
+
+
+@pytest.mark.parametrize("W", [64, 128])
+def test_pallas_matches_jnp_random(W):
+    rng = np.random.default_rng(80 + W)
+    for err in (0.03, 0.15):
+        a, b, la, lb, d0 = random_overlap_case(rng, B=24, la_max=320, err=err)
+        a, b, la, lb, d0 = _pad_case(a, b, la, lb, d0)
+        _run_both(a, b, la, lb, d0, W, 512)
+
+
+def test_pallas_matches_jnp_long_marks():
+    """Long pairs: several window shifts + both mark grids exercised."""
+    rng = np.random.default_rng(17)
+    a, b, la, lb, d0 = random_overlap_case(
+        rng, B=16, la_max=480, err=0.08, lb_extra=40
+    )
+    a, b, la, lb, d0 = _pad_case(a, b, la, lb, d0)
+    _run_both(a, b, la, lb, d0, 64, 640)
+
+
+def test_pallas_matches_jnp_edge_cases():
+    """Degenerate pairs: identical, all-mismatch, tiny, lb > J bucket."""
+    rng = np.random.default_rng(3)
+    B = 8
+    LA, LB = 160, 700
+    a = np.full((B, LA), 9, dtype=np.uint8)
+    b = np.full((B, LB), 9, dtype=np.uint8)
+    la = np.array([40, 96, 64, 50, 33, 96, 160, 128], dtype=np.int64)
+    lb = np.array([40, 30, 64, 128, 1, 96, 700, 60], dtype=np.int64)
+    d0 = np.array([0, 90, 2, 45, 0, 0, 10, 100], dtype=np.int64)
+    for p in range(B):
+        a[p, : la[p]] = rng.integers(0, 4, la[p])
+    b[0, :40] = a[0, :40]
+    b[1, :30] = rng.integers(0, 4, 30)
+    b[2, :64] = (a[2, 2:66] + 1) % 4
+    b[3, :128] = np.concatenate([a[3, 45:50], rng.integers(0, 4, 123)])
+    b[4, :1] = a[4, :1]
+    b[5, :96] = a[5, :96]
+    b[6, :700] = rng.integers(0, 4, 700)  # lb > J: end never reached
+    b[7, :60] = rng.integers(0, 4, 60)
+    a, b, la, lb, d0 = _pad_case(a, b, la, lb, d0)
+    _run_both(a, b, la, lb, d0, 64, 512)
