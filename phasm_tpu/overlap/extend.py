@@ -690,9 +690,11 @@ class DeviceExtender:
         _enable_compilation_cache()
         self.band = band  # default band; extend() may override per call
         # backend: "auto" (pallas on TPU, jnp scan elsewhere), "pallas",
-        # "jnp", or "myers" (bit-vector block-band, overlap/myers.py —
-        # block-band semantics per myers_oracle, NOT bit-identical to the
-        # W-band backends)
+        # "jnp", "myers" (bit-vector block-band jnp core, overlap/myers.py),
+        # or "myers_pallas" (the same block-band semantics with both cores
+        # as Pallas kernels, overlap/myers_pallas.py).  The myers family is
+        # block-band per myers_oracle, NOT bit-identical to the W-band
+        # backends.
         self.backend = backend
         self._mesh = None
         self._axis = mesh_axis
@@ -749,12 +751,20 @@ class DeviceExtender:
             return run
         import jax
         import jax.numpy as jnp
-        if self.backend == "myers":
+        if self.backend in ("myers", "myers_pallas"):
             from functools import partial
 
-            from phasm_tpu.overlap.myers import myers_compute
+            if self.backend == "myers":
+                from phasm_tpu.overlap.myers import myers_compute
 
-            compute = partial(myers_compute, W=W, J=jmax)
+                compute = partial(myers_compute, W=W, J=jmax)
+            else:
+                from phasm_tpu.overlap.myers_pallas import myers_pallas_compute
+
+                compute = partial(
+                    myers_pallas_compute, W=W, J=jmax,
+                    interpret=jax.default_backend() != "tpu",
+                )
             run = self._wrap_run(compute)
             self._runs[key] = run
             _GLOBAL_RUNS[gkey] = run

@@ -141,8 +141,11 @@ def _make_myers_fwd(W: int, J: int, interpret: bool = False):
             )
 
         def block_body(blk, carry):
-            (VP, VN, s_top, s_bot, s_la, below, state,
+            # below_i is carried as int32 0/1: Mosaic cannot lay out i1
+            # vectors in scf loop carries (internal error on TPU lowering)
+            (VP, VN, s_top, s_bot, s_la, below_i, state,
              wprev, wmax, wprev2, wmax2) = carry
+            below = below_i != 0
 
             # --- uniform shift at block start (skip blk 0), per-pair gated
             # so each pair's band freezes at its own lb ---
@@ -158,6 +161,7 @@ def _make_myers_fwd(W: int, J: int, interpret: bool = False):
             s_bot = jnp.where(act_s, s_bot + WB, s_bot)
             enter = below & act_s & (la_rel <= (blk + K) * WB)
             s_la = jnp.where(enter, s_bot - ((blk + K) * WB - la_rel), s_la)
+            below_i = jnp.where(enter, 0, below_i)
             below = below & ~enter
 
             # match masks for this block's K words: [4, R, 128] each
@@ -247,10 +251,10 @@ def _make_myers_fwd(W: int, J: int, interpret: bool = False):
                 (wprev, wmax, wprev2, wmax2),
             )
 
-            return (VP, VN, s_top, s_bot, s_la, below, state,
+            return (VP, VN, s_top, s_bot, s_la, below_i, state,
                     wprev, wmax, wprev2, wmax2)
 
-        below0 = la_rel > K * WB
+        below0 = (la_rel > K * WB).astype(jnp.int32)
         s_la0 = jnp.where(
             (la_rel >= 0) & (la_rel <= K * WB), 0, MBIG
         ).astype(jnp.int32)
@@ -260,7 +264,7 @@ def _make_myers_fwd(W: int, J: int, interpret: bool = False):
             zero, zero, s_la0, below0, state0, zero, zero, zero, zero,
         )
         carry = jax.lax.fori_loop(0, NB, block_body, carry)
-        (VP, VN, s_top, s_bot, s_la, below, state,
+        (VP, VN, s_top, s_bot, s_la, below_i, state,
          wprev, wmax, wprev2, wmax2) = carry
 
         # --- final-column extraction from each pair's frozen band state:

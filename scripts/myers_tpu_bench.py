@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--jmax", type=int, default=2048)
     ap.add_argument("--band", type=int, default=64)
     ap.add_argument("--skip-pallas", action="store_true")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated backend list (overrides default)")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +73,12 @@ def main():
 
     results = {"backend": backend, "band": W, "jmax": JMAX, "m": M, "iters": iters}
 
-    for name in (("myers",) if args.skip_pallas else ("pallas", "myers")):
+    names = ("myers", "myers_pallas") if args.skip_pallas else (
+        "pallas", "myers", "myers_pallas"
+    )
+    if args.only:
+        names = tuple(args.only.split(","))
+    for name in names:
         ext = DeviceExtender.__new__(DeviceExtender)
         ext.band = W
         ext.backend = name
@@ -95,11 +102,12 @@ def main():
         print(f"# {name}: {aps:,.0f} aligns/s ({found}/{M} found)",
               file=sys.stderr)
 
-    if "pallas" in results and "myers" in results:
-        results["myers_speedup"] = round(
-            results["myers"]["alignments_per_sec"]
-            / results["pallas"]["alignments_per_sec"], 2,
-        )
+    for other in ("myers", "myers_pallas"):
+        if "pallas" in results and other in results:
+            results[f"{other}_speedup"] = round(
+                results[other]["alignments_per_sec"]
+                / results["pallas"]["alignments_per_sec"], 2,
+            )
     print(json.dumps(results))
 
 

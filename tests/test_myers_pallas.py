@@ -91,3 +91,25 @@ def test_pallas_matches_jnp_edge_cases():
     b[7, :60] = rng.integers(0, 4, 60)
     a, b, la, lb, d0 = _pad_case(a, b, la, lb, d0)
     _run_both(a, b, la, lb, d0, 64, 512)
+
+
+# ---------------------------------------------------------------------------
+# production-engine integration (backend="myers_pallas")
+# ---------------------------------------------------------------------------
+
+
+def test_engine_myers_pallas_matches_myers():
+    """DeviceExtender(backend="myers_pallas") == backend="myers" bit-exactly
+    through the full production engine (same block-band semantics; kernels
+    chained to the oracle by the suites above)."""
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.sim import simulate_reads
+
+    rs, _ = simulate_reads(
+        seed=11, genome_len=5_000, ploidy=1, coverage=8, mean_read_len=700,
+        error_rate=0.05, read_len_spread=0.2,
+    )
+    t_jnp = overlap_reads(rs, OverlapConfig(backend="myers"))
+    t_pl = overlap_reads(rs, OverlapConfig(backend="myers_pallas"))
+    assert len(t_jnp) > 50
+    assert np.array_equal(t_jnp.as_matrix(), t_pl.as_matrix())
