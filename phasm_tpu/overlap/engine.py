@@ -58,40 +58,96 @@ class OverlapConfig:
 _MAX_BATCH = 16384  # pairs per device call (amortizes dispatch, bounds HBM)
 
 
-def overlap_reads(
-    reads: ReadSet, cfg: OverlapConfig | None = None, mesh=None
-) -> AlignmentTable:
-    """All-vs-all overlap detection.
+def _bucket_edges(need: np.ndarray, cfg: OverlapConfig) -> list[int]:
+    """Column-count bucket edges for a batch of candidates: the short fixed
+    buckets, then segment multiples up to the LARGEST actually-needed count
+    (capped) — avoids burning columns (and a kernel compile) on lengths no
+    pair needs."""
+    max_need = int(min(need.max(), cfg.max_jmax)) if need.shape[0] else 0
+    edges = [b for b in cfg.pallas_buckets if b < max_need]
+    k = 2
+    while k * cfg.seg < max_need:
+        if k * cfg.seg > (edges[-1] if edges else 0):
+            edges.append(k * cfg.seg)
+        k *= 2
+    edges.append(
+        ((max_need + cfg.seg - 1) // cfg.seg) * cfg.seg
+        if max_need > cfg.pallas_buckets[0]
+        else cfg.pallas_buckets[0]
+    )
+    return sorted(set(edges))
 
-    ``mesh``: optional jax.sharding.Mesh — extension batches run
-    data-parallel over its "dp" axis with an all_gather merge; the returned
-    table is bit-identical to the single-device run (tested on the virtual
-    CPU mesh).  Seeding stays host-side; the candidate list is identical
-    regardless of mesh.
-    """
-    cfg = cfg or OverlapConfig()
+
+def _dispatch_bucketed(extender, ka, kb, kd, need, cfg, band=None, tag=""):
+    """Bucket candidates by needed columns and dispatch every chunk async
+    (results stay on device).  Returns [(sel_idx, jmax, [(out, M), ...])]."""
+    from phasm_tpu import metrics
+
+    pending = []
+    prev = 0
+    edges = _bucket_edges(need, cfg)
+    for bi, cap in enumerate(edges):
+        sel = (
+            (need > prev) & (need <= cap)
+            if bi + 1 < len(edges)
+            else (need > prev)
+        )
+        prev = cap
+        if not np.any(sel):
+            continue
+        sel_idx = np.nonzero(sel)[0]
+        outs = []
+        with metrics.stage(
+            f"overlap.dispatch{tag}.j{cap}", pairs=sel_idx.shape[0]
+        ):
+            for s0 in range(0, sel_idx.shape[0], _MAX_BATCH):
+                chunk = sel_idx[s0 : s0 + _MAX_BATCH]
+                outs.append(
+                    extender.extend_async(
+                        ka[chunk], kb[chunk], kd[chunk], cap, band=band
+                    )
+                )
+        pending.append((sel_idx, cap, outs))
+    return pending
+
+
+def _materialize_pending(extender, pending, N):
+    """Fetch all pending device results into per-candidate arrays (kernel
+    frame): (diffs, a_start, a_end, b_end, win)."""
+    from phasm_tpu import metrics
+
+    r_diffs = np.full(N, BIG, dtype=np.int64)
+    r_as = np.zeros(N, dtype=np.int64)
+    r_ae = np.zeros(N, dtype=np.int64)
+    r_be = np.zeros(N, dtype=np.int64)
+    r_win = np.zeros(N, dtype=np.int64)
+    for idx, jmax, outs in pending:
+        with metrics.stage(f"overlap.extend.j{jmax}", pairs=idx.shape[0]):
+            parts = [extender.materialize(out, M) for out, M in outs]
+        r_diffs[idx] = np.concatenate([p.diffs for p in parts])
+        r_as[idx] = np.concatenate([p.a_start for p in parts])
+        r_ae[idx] = np.concatenate([p.a_end for p in parts])
+        r_be[idx] = np.concatenate([p.b_end for p in parts])
+        r_win[idx] = np.concatenate([p.win_cost for p in parts])
+    return r_diffs, r_as, r_ae, r_be, r_win
+
+
+def _resolve_backend(cfg: OverlapConfig) -> str:
     backend = cfg.backend
     if backend == "auto":
         import jax
 
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return backend
 
-    from phasm_tpu import metrics
 
-    lengths = reads.lengths.astype(np.int32)
-    with metrics.stage("overlap.seed", reads=reads.n_reads):
-        seeds = seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
-        cands = seeding.match_seeds(seeds, lengths, cfg.seed)
-    metrics.incr("overlap.candidates", len(cands))
-    if len(cands) == 0:
-        return AlignmentTable.empty()
+def _normalize_candidates(cands: "seeding.Candidates", lengths, band: int):
+    """Candidate pairs -> kernel frame.
 
-    oriented = reads.oriented_codes_matrix()
-
-    # normalize: kernel frame is (A = earlier read, B = later read) with
-    # diagonal >= 0.  table a is the smaller read id, FORWARD; oriented b
-    # carries the strand.  when the seed diagonal is negative, the roles in
-    # the KERNEL swap (suffix of oriented-b overlaps prefix of a).
+    Kernel frame is (A = earlier read, B = later read) with diagonal >= 0.
+    table a is the smaller read id, FORWARD; oriented b carries the strand.
+    when the seed diagonal is negative, the roles in the KERNEL swap
+    (suffix of oriented-b overlaps prefix of a)."""
     a_id = cands.a_id.astype(np.int64)
     b_id = cands.b_id.astype(np.int64)
     st = cands.strand.astype(np.int64)
@@ -107,7 +163,38 @@ def overlap_reads(
     la_k = lengths[ka >> 1]
     lb_k = lengths[kb >> 1]
     # columns needed: alignment can span to the end of B or A
-    need = np.minimum(lb_k, la_k - kd + cfg.band).astype(np.int64) + cfg.band
+    need = np.minimum(lb_k, la_k - kd + band).astype(np.int64) + band
+    return a_id, b_id, st, swap, ka, kb, kd, la_k, lb_k, need
+
+
+def overlap_reads(
+    reads: ReadSet, cfg: OverlapConfig | None = None, mesh=None
+) -> AlignmentTable:
+    """All-vs-all overlap detection.
+
+    ``mesh``: optional jax.sharding.Mesh — extension batches run
+    data-parallel over its "dp" axis with an all_gather merge; the returned
+    table is bit-identical to the single-device run (tested on the virtual
+    CPU mesh).  Seeding stays host-side; the candidate list is identical
+    regardless of mesh.
+    """
+    cfg = cfg or OverlapConfig()
+    backend = _resolve_backend(cfg)
+
+    from phasm_tpu import metrics
+
+    lengths = reads.lengths.astype(np.int32)
+    with metrics.stage("overlap.seed", reads=reads.n_reads):
+        seeds = seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
+        cands = seeding.match_seeds(seeds, lengths, cfg.seed)
+    metrics.incr("overlap.candidates", len(cands))
+    if len(cands) == 0:
+        return AlignmentTable.empty()
+
+    oriented = reads.oriented_codes_matrix()
+    a_id, b_id, st, swap, ka, kb, kd, la_k, lb_k, need = _normalize_candidates(
+        cands, lengths, cfg.band
+    )
 
     from phasm_tpu.overlap.extend import DeviceExtender
 
@@ -115,57 +202,142 @@ def overlap_reads(
         oriented, lengths, band=cfg.band, mesh=mesh, backend=backend
     )
 
-    # bucket edges: the short fixed buckets, then segment multiples up to the
-    # LARGEST actually-needed column count (capped) — avoids burning columns
-    # (and a kernel compile) on lengths no pair needs
-    max_need = int(min(need.max(), cfg.max_jmax)) if need.shape[0] else 0
-    edges = [b for b in cfg.pallas_buckets if b < max_need]
-    k = 2
-    while k * cfg.seg < max_need:
-        if k * cfg.seg > (edges[-1] if edges else 0):
-            edges.append(k * cfg.seg)
-        k *= 2
-    edges.append(((max_need + cfg.seg - 1) // cfg.seg) * cfg.seg if max_need > cfg.pallas_buckets[0] else cfg.pallas_buckets[0])
-    edges = sorted(set(edges))
-
     # two-phase: dispatch every chunk of every bucket (results stay on
     # device), then materialize — overlaps device compute with the tunnel
     # round-trips instead of syncing per chunk
-    pending = []  # (sel_mask, jmax, [(device_out, M), ...])
-    prev = 0
-    for bi, cap in enumerate(edges):
-        sel = (need > prev) & (need <= cap) if bi + 1 < len(edges) else (need > prev)
-        prev = cap
-        if not np.any(sel):
-            continue
-        jmax = cap
-        outs = []
-        sel_idx = np.nonzero(sel)[0]
-        with metrics.stage(f"overlap.dispatch.j{jmax}", pairs=sel_idx.shape[0]):
-            for s0 in range(0, sel_idx.shape[0], _MAX_BATCH):
-                chunk = sel_idx[s0 : s0 + _MAX_BATCH]
-                outs.append(
-                    extender.extend_async(ka[chunk], kb[chunk], kd[chunk], jmax)
-                )
-        pending.append((sel, jmax, outs))
-
-    # materialize into per-candidate arrays (kernel frame)
+    pending = _dispatch_bucketed(extender, ka, kb, kd, need, cfg)
     N = ka.shape[0]
-    r_diffs = np.full(N, BIG, dtype=np.int64)
-    r_as = np.zeros(N, dtype=np.int64)
-    r_ae = np.zeros(N, dtype=np.int64)
-    r_be = np.zeros(N, dtype=np.int64)
-    r_win = np.zeros(N, dtype=np.int64)
-    for sel, jmax, outs in pending:
-        with metrics.stage(f"overlap.extend.j{jmax}", pairs=int(sel.sum())):
-            parts = [extender.materialize(out, M) for out, M in outs]
-        idx = np.nonzero(sel)[0]
-        r_diffs[idx] = np.concatenate([p.diffs for p in parts])
-        r_as[idx] = np.concatenate([p.a_start for p in parts])
-        r_ae[idx] = np.concatenate([p.a_end for p in parts])
-        r_be[idx] = np.concatenate([p.b_end for p in parts])
-        r_win[idx] = np.concatenate([p.win_cost for p in parts])
+    r_diffs, r_as, r_ae, r_be, r_win = _materialize_pending(
+        extender, pending, N
+    )
+    return _escalate_and_build(
+        extender, cfg, lengths,
+        a_id, b_id, st, swap, ka, kb, kd, la_k, lb_k,
+        r_diffs, r_as, r_ae, r_be, r_win,
+    )
 
+
+def overlap_reads_blocked(
+    reads: ReadSet,
+    cfg: OverlapConfig | None = None,
+    mesh=None,
+    n_blocks: int = 4,
+) -> AlignmentTable:
+    """Block-tiled overlap with cross-stage pipelining (seed-match ∥ extend).
+
+    The DAZZ_DB/DALIGNER analogue of block-vs-block comparison (DBsplit;
+    SURVEY.md §3.2 L0 row): reads are partitioned into ``n_blocks``
+    contiguous id ranges; each (bi <= bj) tile's seed matching runs on host
+    WHILE the previous tile's extension batches execute on device
+    (``extend_async`` keeps results device-resident, so dispatch returns
+    immediately).  Per-pair candidate histograms are tile-local by
+    construction — every shared seed of a pair (a, b) lives in the
+    (block(a), block(b)) tile — so the output is BIT-IDENTICAL to
+    ``overlap_reads`` (tested).  This is the SURVEY §3.3 PP-row cross-stage
+    pipeline: stage overlap beyond the intra-stage double buffering.
+    """
+    cfg = cfg or OverlapConfig()
+    backend = _resolve_backend(cfg)
+
+    from phasm_tpu import metrics
+
+    lengths = reads.lengths.astype(np.int32)
+    with metrics.stage("overlap.seed.minimizers", reads=reads.n_reads):
+        seeds = seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
+
+    oriented = reads.oriented_codes_matrix()
+    from phasm_tpu.overlap.extend import DeviceExtender
+
+    extender = DeviceExtender(
+        oriented, lengths, band=cfg.band, mesh=mesh, backend=backend
+    )
+
+    n = reads.n_reads
+    n_blocks = max(1, min(n_blocks, n))
+    bounds = [(n * i) // n_blocks for i in range(n_blocks + 1)]
+    blk_of = np.searchsorted(bounds, seeds.read_id, side="right") - 1
+
+    tiles = []  # (norm_tuple, pending)
+    for bi in range(n_blocks):
+        for bj in range(bi, n_blocks):
+            in_tile = (blk_of == bi) | (blk_of == bj)
+            sub = seeding.Seeds(
+                read_id=seeds.read_id[in_tile],
+                pos=seeds.pos[in_tile],
+                canon=seeds.canon[in_tile],
+                orient=seeds.orient[in_tile],
+            )
+            with metrics.stage(f"overlap.seed.tile{bi}_{bj}"):
+                cands = seeding.match_seeds(sub, lengths, cfg.seed)
+            if len(cands) == 0:
+                continue
+            # keep only this tile's pairs: a in bi, b in bj (a < b always);
+            # the union-seed match also emits intra-bi pairs when bi != bj
+            keep = (
+                (cands.a_id >= bounds[bi]) & (cands.a_id < bounds[bi + 1])
+                & (cands.b_id >= bounds[bj]) & (cands.b_id < bounds[bj + 1])
+            )
+            if bi == bj:
+                pass  # both endpoints in bi — keep already expresses it
+            if not np.any(keep):
+                continue
+            cands = seeding.Candidates(
+                a_id=cands.a_id[keep], b_id=cands.b_id[keep],
+                strand=cands.strand[keep], diag=cands.diag[keep],
+                n_seeds=cands.n_seeds[keep],
+            )
+            norm = _normalize_candidates(cands, lengths, cfg.band)
+            need = norm[-1]
+            ka, kb, kd = norm[4], norm[5], norm[6]
+            # dispatch NOW (async): device extends this tile while the next
+            # tile's host-side matching runs
+            pend = _dispatch_bucketed(
+                extender, ka, kb, kd, need, cfg, tag=f".t{bi}_{bj}"
+            )
+            tiles.append((norm, pend))
+    metrics.incr("overlap.candidates", sum(t[0][0].shape[0] for t in tiles))
+    if not tiles:
+        return AlignmentTable.empty()
+
+    # concatenate tile frames; materialize each tile's pendings
+    cat = [np.concatenate([t[0][i] for t in tiles]) for i in range(10)]
+    a_id, b_id, st, swap, ka, kb, kd, la_k, lb_k, need = cat
+    N = ka.shape[0]
+    r = [
+        np.full(N, BIG, dtype=np.int64),
+        np.zeros(N, dtype=np.int64),
+        np.zeros(N, dtype=np.int64),
+        np.zeros(N, dtype=np.int64),
+        np.zeros(N, dtype=np.int64),
+    ]
+    off = 0
+    for norm, pend in tiles:
+        n_t = norm[0].shape[0]
+        rt = _materialize_pending(extender, pend, n_t)
+        for dst, src in zip(r, rt):
+            dst[off : off + n_t] = src
+        off += n_t
+    r_diffs, r_as, r_ae, r_be, r_win = r
+    return _escalate_and_build(
+        extender, cfg, lengths,
+        a_id, b_id, st, swap, ka, kb, kd, la_k, lb_k,
+        r_diffs, r_as, r_ae, r_be, r_win,
+    )
+
+
+def _escalate_and_build(
+    extender, cfg, lengths,
+    a_id, b_id, st, swap, ka, kb, kd, la_k, lb_k,
+    r_diffs, r_as, r_ae, r_be, r_win,
+) -> AlignmentTable:
+    """Adaptive band escalation + mapping back to the table convention.
+
+    Order-insensitive in the candidate axis (per-read medians, per-pair
+    retries, and the final canonical dedup are all set-valued), so blocked
+    and unblocked candidate orders yield bit-identical tables."""
+    from phasm_tpu import metrics
+
+    N = ka.shape[0]
     # adaptive band escalation: re-extend the high-error tail at each wider
     # band in turn (see OverlapConfig docstring).  Every wider band explores
     # a strict superset of paths, so its result is always <= the narrower

@@ -238,13 +238,26 @@ def _pack_bits(bits):
 
 
 def _build_peq(win, NBLK):
-    """win [B, NBLK*32] int32 codes (PAD >= 4) -> peq [NBLK, 4, B] uint32."""
+    """win [B, NBLK*32] codes (PAD >= 4) -> peq [NBLK, 4, B] uint32.
+
+    Layout matters on TPU: the pack runs in [NBLK, WB, B] (pairs on lanes,
+    the 32 word bits on sublanes) so the shift is elementwise and the
+    reduction is a sublane op.  The naive [B, NBLK, 32] orientation put the
+    32-bit axis on lanes (quarter-filled) and reduced ACROSS lanes — it was
+    ~20x slower and dominated the whole myers_pallas production path."""
     import jax.numpy as jnp
 
-    B = win.shape[0]
-    w = win.reshape(B, NBLK, WB)
-    peq = jnp.stack([_pack_bits(w == c) for c in range(4)], axis=0)
-    return jnp.transpose(peq, (2, 0, 1))  # [NBLK, 4, B]
+    winT = win.T.reshape(NBLK, WB, -1)  # [NBLK, 32, B]
+    t = jnp.arange(WB, dtype=jnp.uint32)[None, :, None]
+    return jnp.stack(
+        [
+            ((winT == c).astype(jnp.uint32) << t).sum(
+                axis=1, dtype=jnp.uint32
+            )
+            for c in range(4)
+        ],
+        axis=1,
+    )  # [NBLK, 4, B]
 
 
 def _eq_select(e4, bj, zero_u):

@@ -397,3 +397,27 @@ def test_wide_band_kernels_match_oracle():
         assert np.array_equal(out[2], res.a_end), W
         assert np.array_equal(out[3], res.b_end), W
         assert np.array_equal(out[4], res.win_cost), W
+
+
+def test_blocked_overlap_bit_identical():
+    """overlap_reads_blocked (DALIGNER-style block tiles, seed-match
+    pipelined with device extension) == overlap_reads, bit-exact: per-pair
+    seed histograms are tile-local and the escalation + dedup are
+    candidate-order-insensitive."""
+    import numpy as np
+
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.overlap.engine import overlap_reads_blocked
+    from phasm_tpu.sim import simulate_reads
+
+    rs, _ = simulate_reads(
+        seed=13, genome_len=9_000, ploidy=2, coverage=10, mean_read_len=900,
+        error_rate=0.05, read_len_spread=0.2,
+    )
+    cfg = OverlapConfig(backend="jnp")
+    t1 = overlap_reads(rs, cfg)
+    for nb in (1, 3, 4):
+        tb = overlap_reads_blocked(rs, cfg, n_blocks=nb)
+        assert len(t1) > 100
+        assert np.array_equal(t1.as_matrix(), tb.as_matrix()), f"n_blocks={nb}"
+        assert np.array_equal(t1.win, tb.win), f"n_blocks={nb}"
