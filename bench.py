@@ -189,6 +189,32 @@ def main():
             return (time.time() - t0) / iters
 
         dt = robust(timed, "timed loop")
+
+        # Myers bit-vector kernels (overlap/myers_pallas.py) on the same
+        # workload, same pre-marshaled-operand methodology: operands (peq /
+        # packed-b, fwd + start-recovery reverse) are built on device once
+        # outside the loop, exactly like a2T/b2T above; the timed loop runs
+        # both kernels (the full per-pair compute).  Headline = the faster
+        # backend; the slower one goes to stderr.
+        dt_myers = None
+        try:
+            dt_myers = _myers_kernel_only(
+                oriented, lengths, a_oid, b_oid, d0, W, JMAX, iters
+            )
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            import sys
+
+            print(f"# myers kernel-only path failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+        kernel = "pallas"
+        if dt_myers is not None:
+            import sys
+
+            print(f"# pallas cell-per-lane: {M / dt:,.0f} aligns/s; "
+                  f"myers bit-vector: {M / dt_myers:,.0f} aligns/s",
+                  file=sys.stderr)
+            if dt_myers < dt:
+                dt, kernel = dt_myers, "myers"
     else:
         from phasm_tpu.overlap.extend import _get_jit_batch
 
