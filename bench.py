@@ -1,15 +1,17 @@
-"""Headline benchmark: overlap alignments/sec/chip (banded extension kernel).
+"""Headline benchmark: overlap alignments/sec/chip through the PRODUCTION
+path (DeviceExtender.extend_async + materialize — the code overlap_reads
+actually runs, including on-device window construction and result fetch).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is 1.0 by definition — the reference (AbeelLab/phasm) publishes
 no throughput numbers (BASELINE.md: "published": {}), so this bench IS the
-baseline series the driver tracks across rounds.
+baseline series the driver tracks across rounds.  Round 1-2 benched the
+kernel with pre-marshaled operands; per VERDICT r2 weak #1 the tracked
+series is now the number users get (kernel-only rates go to stderr for
+roofline tracking).
 
-Runs the Pallas kernel on TPU (jnp scan path elsewhere), on synthetic noisy
-overlap pairs shaped like the E. coli config (4 kb mean overlaps, ~10%
-pairwise divergence).  Measures steady-state device throughput with
-device-resident inputs (the production engine streams batches, amortizing
-host transfer; see phasm_tpu/overlap/engine.py).
+Workload: synthetic noisy overlap pairs shaped like the E. coli config
+(4 kb reads, ~10% pairwise divergence), 16384 pairs/batch.
 
 Tunnel survival (the round-1 run died in jax.device_put):
   * the persistent XLA compile cache is enabled BEFORE any jit — warm runs
@@ -111,12 +113,123 @@ def make_batch(rng, n_reads, read_len, n_pairs, jmax, err=0.05):
     return oriented, lengths, a_oid, b_oid, d0
 
 
+def _production_throughput(ext, a_oid, b_oid, d0, JMAX, M, iters):
+    """Steady-state production throughput: extend_async dispatches per
+    batch (index vectors ship host->device each call, exactly like
+    overlap_reads), materialize fetches the [5, M] results.  NOTE:
+    jax.block_until_ready does NOT synchronize through the axon tunnel
+    (measured round 2: a 37 ms kernel "completed" in 0.05 ms) — only an
+    actual fetch is a reliable barrier, so the loop barrier is the
+    materialize of the final batch."""
+    # warm: compile (persistent-cached) + one full execution + sanity
+    out, Mm = robust(
+        lambda: ext.extend_async(a_oid, b_oid, d0, JMAX),
+        "compile+warm", delays=(10, 30, 60),
+    )
+    res = robust(lambda: ext.materialize(out, Mm), "warm sync")
+    n_found = int((res.diffs < (1 << 15)).sum())
+    assert n_found > 0.95 * M, (
+        f"bench workload broken: only {n_found}/{M} pairs aligned"
+    )
+
+    def timed():
+        t0 = time.time()
+        last = None
+        for _ in range(iters):
+            last = ext.extend_async(a_oid, b_oid, d0, JMAX)
+        ext.materialize(last[0], last[1])  # real fetch barrier
+        return (time.time() - t0) / iters
+
+    return robust(timed, "timed loop")
+
+
+def _myers_kernel_only(oriented, lengths, a_oid, b_oid, d0, W, J, iters):
+    """Myers bit-vector fwd+rev kernel rate with device-resident, pre-built
+    operands (roofline tracking; stderr only).  Windows are prepped once via
+    the table path (incl. one fwd run to fix the reverse anchors); the timed
+    loop runs both Pallas kernels on frozen operands."""
+    import jax
+    import jax.numpy as jnp
+
+    from phasm_tpu.overlap import myers as MY
+    from phasm_tpu.overlap import myers_pallas as MP
+
+    dev_o = put_chunked(oriented)
+    lengths_d = robust(
+        lambda: jax.device_put(lengths.astype(np.int32)), "upload lengths"
+    )
+    idx = [
+        robust(lambda x=x: jax.device_put(x.astype(np.int32)), "upload idx")
+        for x in (a_oid, b_oid, d0)
+    ]
+    tabs = jax.jit(MY.build_myers_tables)(dev_o, lengths_d)
+    LA = int(oriented.shape[1])
+
+    @jax.jit
+    def prep(peq_tab, bpk_tab, lengths, a_oid, b_oid, d0):
+        la = lengths[a_oid >> 1]
+        lb = lengths[b_oid >> 1]
+        peqT = jnp.transpose(peq_tab[a_oid], (2, 1, 0))
+        bpkT = jnp.transpose(bpk_tab[b_oid], (2, 1, 0))
+        peq_f, bpk_f, la_rel, m0 = MY.fwd_prep_tab(peqT, bpkT, la, d0, W, J)
+        fwd = MP._get_fwd(W, J, False)
+        B = a_oid.shape[0]
+        _, iend_rel, jend, _ = [
+            x.reshape(B)
+            for x in fwd(
+                MP._q(la_rel), MP._q(la), MP._q(lb), MP._q(d0),
+                MP._q(peq_f), MP._q(bpk_f),
+            )
+        ]
+        iend = iend_rel + m0 * MY.WB
+        peq_r, bpk_r, row_off = MY.rev_prep_tab(
+            peqT, bpkT, LA, iend, jend, d0, W, J
+        )
+        return (la_rel, la, lb, d0, peq_f, bpk_f,
+                row_off, iend, jend, peq_r, bpk_r)
+
+    ops = prep(tabs["peq"], tabs["bpk"], lengths_d, *idx)
+    (la_rel, la, lb, d0d, peq_f, bpk_f,
+     row_off, iend, jend, peq_r, bpk_r) = ops
+
+    @jax.jit
+    def kernels(la_rel, la, lb, d0, peq_f, bpk_f,
+                row_off, iend, jend, peq_r, bpk_r):
+        fwd = MP._get_fwd(W, J, False)
+        rev = MP._get_rev(W, J, False)
+        cf, _, _, _ = fwd(
+            MP._q(la_rel), MP._q(la), MP._q(lb), MP._q(d0),
+            MP._q(peq_f), MP._q(bpk_f),
+        )
+        cr, br = rev(
+            MP._q(row_off), MP._q(iend), MP._q(jend),
+            MP._q(peq_r), MP._q(bpk_r),
+        )
+        return cf, cr, br
+
+    robust(lambda: np.asarray(kernels(*ops)[0]), "myers kernel warm",
+           delays=(10, 30, 60))
+
+    def timed():
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = kernels(*ops)
+        np.asarray(out[0])  # real barrier
+        return (time.time() - t0) / iters
+
+    return robust(timed, "myers kernel timed loop")
+
+
 def main():
+    import sys
+
     import jax
 
+    from phasm_tpu.overlap.engine import OverlapConfig, _resolve_backend
     from phasm_tpu.overlap.extend import (
+        DeviceExtender,
         _enable_compilation_cache,
-        prepare_pair_tensors,
     )
 
     _enable_compilation_cache()  # BEFORE any jit: warm runs skip remote compiles
@@ -136,88 +249,42 @@ def main():
     oriented, lengths, a_oid, b_oid, d0 = make_batch(
         rng, N_READS, READ_LEN, M, JMAX
     )
-    a2, b2, la, lb = prepare_pair_tensors(
-        oriented, lengths, a_oid, b_oid, d0, W, JMAX
-    )
 
     if backend == "tpu":
-        import jax.numpy as jnp
-
-        from phasm_tpu.overlap.extend import _make_pallas_extend
-
-        kernel_run = _make_pallas_extend(W, JMAX, 128, False)
-
-        @jax.jit
-        def run(d0d, lad, lbd, a2T_u8, b2T_u8):
-            # cast on device: uint8 over the tunnel is 4x less traffic
-            return kernel_run(
-                d0d, lad, lbd,
-                a2T_u8.astype(jnp.int32), b2T_u8.astype(jnp.int32),
-            )
-
-        small = [
-            robust(lambda x=x: jax.device_put(x), "upload scalar vec")
-            for x in (
-                d0.astype(np.int32)[None, :],
-                la.astype(np.int32)[None, :],
-                lb.astype(np.int32)[None, :],
-            )
-        ]
-        a2T = put_chunked(np.ascontiguousarray(a2.T))  # [JMAX+W, M] uint8
-        b2T = put_chunked(np.ascontiguousarray(b2.T))  # [JMAX, M] uint8
-        args = [*small, a2T, b2T]
-
-        # warm: compile (persistent-cached) + one full execution.  NOTE:
-        # jax.block_until_ready does NOT synchronize through the axon tunnel
-        # (measured: a 37 ms kernel "completed" in 0.05 ms) — only an actual
-        # fetch (np.asarray) is a reliable barrier, so every sync below is a
-        # fetch of the [4, M] result (256 KB; its tunnel cost is why iters is
-        # high — it amortizes to ~1% of the loop).
-        warm = robust(lambda: run(*args), "compile+warm", delays=(10, 30, 60))
-        warm_np = robust(lambda: np.asarray(warm), "warm sync")
-        n_found = int((warm_np[0] < (1 << 15)).sum())
-        assert n_found > 0.95 * M, (
-            f"bench workload broken: only {n_found}/{M} pairs aligned"
+        dp_backend = _resolve_backend(OverlapConfig())
+        ext = DeviceExtender(oriented, lengths, band=W, backend=dp_backend)
+        dt = _production_throughput(
+            ext, a_oid, b_oid, d0.astype(np.int32), JMAX, M, iters
         )
 
-        def timed():
-            t0 = time.time()
-            out = None
-            for _ in range(iters):
-                out = run(*args)
-            np.asarray(out)  # real barrier (see note above)
-            return (time.time() - t0) / iters
-
-        dt = robust(timed, "timed loop")
-
-        # Myers bit-vector kernels (overlap/myers_pallas.py) on the same
-        # workload, same pre-marshaled-operand methodology: operands (peq /
-        # packed-b, fwd + start-recovery reverse) are built on device once
-        # outside the loop, exactly like a2T/b2T above; the timed loop runs
-        # both kernels (the full per-pair compute).  Headline = the faster
-        # backend; the slower one goes to stderr.
-        dt_myers = None
+        # kernel-only roofline numbers -> stderr (NOT the tracked series)
         try:
-            dt_myers = _myers_kernel_only(
+            dt_myers_k = _myers_kernel_only(
                 oriented, lengths, a_oid, b_oid, d0, W, JMAX, iters
             )
-        except Exception as e:  # noqa: BLE001 — bench must survive
-            import sys
+            print(
+                f"# kernel-only myers fwd+rev: {M / dt_myers_k:,.0f} "
+                f"aligns/s ({dt_myers_k * 1e3:.1f} ms/batch)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            # diagnostic path only — but fail LOUDLY on programming errors
+            # (ADVICE r2: a NameError here once silently vanished)
+            import traceback
 
-            print(f"# myers kernel-only path failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
-        kernel = "pallas"
-        if dt_myers is not None:
-            import sys
-
-            print(f"# pallas cell-per-lane: {M / dt:,.0f} aligns/s; "
-                  f"myers bit-vector: {M / dt_myers:,.0f} aligns/s",
+            traceback.print_exc()
+            print(f"# myers kernel-only path failed: {type(e).__name__}",
                   file=sys.stderr)
-            if dt_myers < dt:
-                dt, kernel = dt_myers, "myers"
+        kernel = dp_backend
     else:
-        from phasm_tpu.overlap.extend import _get_jit_batch
+        from phasm_tpu.overlap.extend import (
+            _get_jit_batch,
+            prepare_pair_tensors,
+        )
 
+        a2, b2, la, lb = prepare_pair_tensors(
+            oriented, lengths, a_oid, b_oid, d0, W, JMAX
+        )
         runj = _get_jit_batch()
         args = [jax.device_put(x) for x in (a2, b2, la, lb, d0.astype(np.int32))]
         np.asarray(runj(*args, band=W)[0])
@@ -226,12 +293,16 @@ def main():
             out = runj(*args, band=W)
         np.asarray(out[0])
         dt = (time.time() - t0) / iters
+        kernel = "jnp"
 
     aps = M / dt
     print(
         json.dumps(
             {
-                "metric": f"overlap_alignments_per_sec_per_chip[{backend},band{W},j{JMAX}]",
+                "metric": (
+                    f"overlap_alignments_per_sec_per_chip"
+                    f"[{backend},production,{kernel},band{W},j{JMAX}]"
+                ),
                 "value": round(aps, 1),
                 "unit": "alignments/s/chip",
                 "vs_baseline": 1.0,

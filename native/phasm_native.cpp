@@ -38,6 +38,9 @@ inline uint64_t revcomp_kmer(uint64_t v, int k) {
 
 extern "C" {
 
+// Bumped on any ABI change; phasm_tpu/native.py rebuilds stale .so files.
+int64_t phasm_native_abi_version() { return 2; }
+
 // 2-bit pack (DAZZ_DB storage form): 4 bases/byte, little-endian in byte.
 void pack_2bit(const uint8_t* codes, int64_t n, uint8_t* out) {
   for (int64_t i = 0; i < n / 4; ++i) {
@@ -122,11 +125,17 @@ int64_t extract_minimizers(const uint8_t* codes, int64_t n_reads, int64_t lpad,
 // Seed matching: sort seeds by (canon, read_id) and emit all cross-read
 // pairs per bucket (buckets larger than max_occ skipped), with relative
 // strand and diagonal in the a-forward frame (a = smaller read id).
+//
+// cross_split >= 0 restricts emission to pairs straddling the read-id
+// boundary (a < cross_split <= b) — the DALIGNER block-vs-block tile case
+// (overlap_reads_blocked), which would otherwise re-emit intra-block pairs
+// in every cross tile only to discard them.  cross_split < 0 emits all.
 // Returns pairs written (<= cap) or -1 on overflow.
 int64_t match_seed_pairs(const int32_t* read_id, const int32_t* pos,
                          const uint64_t* canon, const uint8_t* orient,
                          int64_t n_seeds, const int32_t* lengths, int32_t k,
-                         int32_t max_occ, int32_t* out_a, int32_t* out_b,
+                         int32_t max_occ, int32_t cross_split,
+                         int32_t* out_a, int32_t* out_b,
                          int32_t* out_strand, int32_t* out_diag, int64_t cap) {
   std::vector<int64_t> order(n_seeds);
   for (int64_t i = 0; i < n_seeds; ++i) order[i] = i;
@@ -148,6 +157,8 @@ int64_t match_seed_pairs(const int32_t* read_id, const int32_t* pos,
           if (read_id[i] == read_id[j]) continue;
           if (read_id[i] > read_id[j]) std::swap(i, j);
           const int32_t a = read_id[i], b = read_id[j];
+          if (cross_split >= 0 && !(a < cross_split && b >= cross_split))
+            continue;
           const int32_t st = orient[i] ^ orient[j];
           const int32_t lb = lengths[b];
           const int32_t pb_or = st ? (lb - k - pos[j]) : pos[j];

@@ -70,6 +70,7 @@ def cmd_overlap(args):
         seed=SeedConfig(k=args.k, window=args.window, min_seeds=args.min_seeds),
         min_overlap=args.min_overlap,
         backend=args.backend,
+        n_blocks=args.n_blocks,
     )
     t = overlap_reads(rs, cfg)
     if args.out.endswith(".npz"):
@@ -179,7 +180,9 @@ def cmd_pipeline(args):
     from phasm_tpu.pipeline import PipelineConfig, assemble
 
     rs = fasta.read_fasta(args.reads)
-    t = overlap_reads(rs, OverlapConfig(backend=args.backend))
+    t = overlap_reads(
+        rs, OverlapConfig(backend=args.backend, n_blocks=args.n_blocks)
+    )
     cfg = PipelineConfig(
         min_overlap_length=args.min_overlap_length,
         max_error_rate=args.max_error_rate,
@@ -220,7 +223,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--window", type=int, default=8)
     s.add_argument("--min-seeds", type=int, default=3)
     s.add_argument("--min-overlap", type=int, default=500)
-    s.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
+    s.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "jnp", "myers", "myers_pallas"])
+    s.add_argument("--n-blocks", type=int, default=0,
+                   help="DALIGNER-style block tiling (0 = auto)")
     s.set_defaults(fn=cmd_overlap)
 
     s = sub.add_parser("filter", help="classify + filter alignments (stage 1)")
@@ -263,7 +269,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--length-fuzz", type=int, default=1000)
     s.add_argument("--max-tip-len", type=int, default=4)
     s.add_argument("--prune-factor", type=float, default=0.01)
-    s.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
+    s.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "jnp", "myers", "myers_pallas"])
+    s.add_argument("--n-blocks", type=int, default=0,
+                   help="DALIGNER-style block tiling (0 = auto)")
     s.add_argument("--adaptive-error", action="store_true",
                    help="per-pair adaptive divergence filter (haplotype purity)")
     s.add_argument("--polish", action="store_true",

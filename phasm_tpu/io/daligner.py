@@ -117,6 +117,47 @@ def load_table_npz(path: str) -> AlignmentTable:
     return AlignmentTable(*(m[:, i] for i in range(8)), win=win)
 
 
+def read_paf(path: str) -> AlignmentTable:
+    """Parse a PAF file into an AlignmentTable — the exact inverse of
+    ``write_paf`` (b-coordinates converted from the forward strand back to
+    the oriented strand; diffs recovered as span - matches, which is exact
+    for any table write_paf produced).
+
+    Read ids: names of the form ``read_<N>`` map to id N (write_paf's
+    default); any other name gets a stable first-appearance index.  Used by
+    scripts/diff_vs_reference.py for the overlap-set diff vs the reference
+    (BASELINE north star), where only set-level consistency of ids matters.
+    """
+    rows = []
+    ids: dict[str, int] = {}
+
+    def rid(name: str) -> int:
+        if name.startswith("read_"):
+            tail = name[5:]
+            if tail.isdigit():
+                return int(tail)
+        return ids.setdefault(name, len(ids))
+
+    with open(path) as fh:
+        for raw in fh:
+            p = raw.rstrip("\n").split("\t")
+            if len(p) < 12:
+                continue
+            a = rid(p[0])
+            b = rid(p[5])
+            a_s, a_e = int(p[2]), int(p[3])
+            st = 1 if p[4] == "-" else 0
+            lb = int(p[6])
+            bs, be = int(p[7]), int(p[8])
+            if st:  # forward-b coords -> oriented-b coords
+                bs, be = lb - be, lb - bs
+            matches, span = int(p[9]), int(p[10])
+            rows.append((a, b, st, a_s, a_e, bs, be, max(span - matches, 0)))
+    if not rows:
+        return AlignmentTable.empty()
+    return AlignmentTable.from_rows(rows)
+
+
 def write_paf(path: str, t: AlignmentTable, lengths: np.ndarray, names=None) -> None:
     """Write alignments as PAF (minimap2 interchange; modern ecosystems speak
     PAF rather than LAdump).  b-coordinates are converted back to the forward

@@ -21,6 +21,7 @@ _SO = os.path.join(_NATIVE_DIR, "libphasm_native.so")
 
 _lib = None
 _tried = False
+_ABI_VERSION = 2  # must match phasm_native_abi_version() in the .cpp
 
 
 def _build() -> bool:
@@ -52,6 +53,20 @@ def get_lib():
     except OSError as e:  # pragma: no cover
         log.warning("native load failed: %s", e)
         return None
+    # stale prebuilt .so (older ABI): rebuild once, reload
+    try:
+        lib.phasm_native_abi_version.restype = ctypes.c_int64
+        stale = lib.phasm_native_abi_version() != _ABI_VERSION
+    except AttributeError:
+        stale = True
+    if stale:
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:  # pragma: no cover
+            log.warning("native reload failed: %s", e)
+            return None
 
     i64, i32, u64, u8 = (
         ctypes.c_int64,
@@ -66,7 +81,7 @@ def get_lib():
     ]
     lib.match_seed_pairs.restype = i64
     lib.match_seed_pairs.argtypes = [
-        p(i32), p(i32), p(u64), p(u8), i64, p(i32), i32, i32,
+        p(i32), p(i32), p(u64), p(u8), i64, p(i32), i32, i32, i32,
         p(i32), p(i32), p(i32), p(i32), i64,
     ]
     lib.pack_2bit.restype = None
@@ -104,8 +119,13 @@ def extract_minimizers_native(codes, lengths, k, w):
         cap *= 2
 
 
-def match_seed_pairs_native(read_id, pos, canon, orient, lengths, k, max_occ):
-    """C++ per-bucket pair emission; returns (a, b, strand, diag) or None."""
+def match_seed_pairs_native(
+    read_id, pos, canon, orient, lengths, k, max_occ, cross_split=-1
+):
+    """C++ per-bucket pair emission; returns (a, b, strand, diag) or None.
+
+    cross_split >= 0 emits only pairs with a < cross_split <= b (block-tile
+    mode, see overlap_reads_blocked)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -124,6 +144,7 @@ def match_seed_pairs_native(read_id, pos, canon, orient, lengths, k, max_occ):
             _ptr(read_id, ctypes.c_int32), _ptr(pos, ctypes.c_int32),
             _ptr(canon, ctypes.c_uint64), _ptr(orient, ctypes.c_uint8),
             read_id.shape[0], _ptr(lengths, ctypes.c_int32), k, max_occ,
+            int(cross_split),
             _ptr(a, ctypes.c_int32), _ptr(b, ctypes.c_int32),
             _ptr(st, ctypes.c_int32), _ptr(dg, ctypes.c_int32), cap,
         )

@@ -49,6 +49,12 @@ class OverlapConfig:
     wide_bands: tuple[int, ...] = (128, 256, 512)
     wide_retry_factor: float = 1.25
     wide_retry_margin: float = 0.02
+    # DALIGNER-style block tiling (DBsplit analogue): 0 = auto from read
+    # count (block tiling pipelines host seed-matching with device extension
+    # and bounds per-tile candidate memory; pointless below a few thousand
+    # reads where one tile's matching is instant), 1 = force unblocked,
+    # N > 1 = force N blocks.  Blocked output is bit-identical (tested).
+    n_blocks: int = 0
     # NOTE: the windowed-divergence statistic (extend.WINDOW probe) is
     # MEASURED here and attached to every table row (AlignmentTable.win);
     # the policy that uses it (window filter, containment gating, arm
@@ -167,10 +173,28 @@ def _normalize_candidates(cands: "seeding.Candidates", lengths, band: int):
     return a_id, b_id, st, swap, ka, kb, kd, la_k, lb_k, need
 
 
+def _auto_blocks(n_reads: int) -> int:
+    """Block count for the DALIGNER-style tiling: ~4k reads per block, off
+    below 6k reads (one tile's host matching is instant there), capped at 8
+    (tile count grows quadratically; 8 blocks = 36 tiles already pipelines
+    host matching fully behind device extension)."""
+    if n_reads < 6000:
+        return 1
+    return min(8, -(-n_reads // 4096))
+
+
 def overlap_reads(
-    reads: ReadSet, cfg: OverlapConfig | None = None, mesh=None
+    reads: ReadSet,
+    cfg: OverlapConfig | None = None,
+    mesh=None,
+    n_blocks: int | None = None,
 ) -> AlignmentTable:
-    """All-vs-all overlap detection.
+    """All-vs-all overlap detection (production entry).
+
+    Dispatches to the DALIGNER-style blocked engine (``overlap_reads_blocked``,
+    cross-stage host-seed/device-extend pipelining) when the resolved block
+    count exceeds 1 — default is auto from the read count (cfg.n_blocks == 0);
+    blocked and unblocked tables are bit-identical (tested).
 
     ``mesh``: optional jax.sharding.Mesh — extension batches run
     data-parallel over its "dp" axis with an all_gather merge; the returned
@@ -179,6 +203,11 @@ def overlap_reads(
     regardless of mesh.
     """
     cfg = cfg or OverlapConfig()
+    nb = n_blocks if n_blocks is not None else cfg.n_blocks
+    if nb == 0:
+        nb = _auto_blocks(reads.n_reads)
+    if nb > 1:
+        return overlap_reads_blocked(reads, cfg, mesh=mesh, n_blocks=nb)
     backend = _resolve_backend(cfg)
 
     from phasm_tpu import metrics
@@ -233,8 +262,15 @@ def overlap_reads_blocked(
     immediately).  Per-pair candidate histograms are tile-local by
     construction — every shared seed of a pair (a, b) lives in the
     (block(a), block(b)) tile — so the output is BIT-IDENTICAL to
-    ``overlap_reads`` (tested).  This is the SURVEY §3.3 PP-row cross-stage
-    pipeline: stage overlap beyond the intra-stage double buffering.
+    ``overlap_reads`` (tested, incl. repeat-rich data).  This is the SURVEY
+    §3.3 PP-row cross-stage pipeline: stage overlap beyond the intra-stage
+    double buffering.
+
+    Repeat handling matches DALIGNER's global repeat masking: the max_occ
+    k-mer filter is computed ONCE over the full seed set (a k-mer globally
+    over max_occ could fall under it inside a tile subset and leak spurious
+    repeat pairs otherwise); cross tiles emit only inter-block pairs
+    (cross_split), so intra-block candidates are matched exactly once.
     """
     cfg = cfg or OverlapConfig()
     backend = _resolve_backend(cfg)
@@ -244,6 +280,23 @@ def overlap_reads_blocked(
     lengths = reads.lengths.astype(np.int32)
     with metrics.stage("overlap.seed.minimizers", reads=reads.n_reads):
         seeds = seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
+
+    # global repeat filter BEFORE tiling (bit-identity with overlap_reads:
+    # a bucket with global count > max_occ emits nothing there either, and
+    # per-tile counts of surviving k-mers can only be <= their global count)
+    uniq, inv, cnt = np.unique(
+        seeds.canon, return_inverse=True, return_counts=True
+    )
+    keep_seed = cnt[inv] <= cfg.seed.max_occ
+    metrics.incr(
+        "overlap.seed.repeat_dropped", int((~keep_seed).sum())
+    )
+    seeds = seeding.Seeds(
+        read_id=seeds.read_id[keep_seed],
+        pos=seeds.pos[keep_seed],
+        canon=seeds.canon[keep_seed],
+        orient=seeds.orient[keep_seed],
+    )
 
     oriented = reads.oriented_codes_matrix()
     from phasm_tpu.overlap.extend import DeviceExtender
@@ -260,32 +313,25 @@ def overlap_reads_blocked(
     tiles = []  # (norm_tuple, pending)
     for bi in range(n_blocks):
         for bj in range(bi, n_blocks):
-            in_tile = (blk_of == bi) | (blk_of == bj)
+            in_tile = (
+                (blk_of == bi) if bi == bj else (blk_of == bi) | (blk_of == bj)
+            )
             sub = seeding.Seeds(
                 read_id=seeds.read_id[in_tile],
                 pos=seeds.pos[in_tile],
                 canon=seeds.canon[in_tile],
                 orient=seeds.orient[in_tile],
             )
+            # cross tiles emit only a-in-bi / b-in-bj pairs (a < b always and
+            # the subset holds only bi/bj reads, so the boundary test
+            # a < bounds[bi+1] <= b selects exactly those)
+            split = -1 if bi == bj else bounds[bi + 1]
             with metrics.stage(f"overlap.seed.tile{bi}_{bj}"):
-                cands = seeding.match_seeds(sub, lengths, cfg.seed)
+                cands = seeding.match_seeds(
+                    sub, lengths, cfg.seed, cross_split=split
+                )
             if len(cands) == 0:
                 continue
-            # keep only this tile's pairs: a in bi, b in bj (a < b always);
-            # the union-seed match also emits intra-bi pairs when bi != bj
-            keep = (
-                (cands.a_id >= bounds[bi]) & (cands.a_id < bounds[bi + 1])
-                & (cands.b_id >= bounds[bj]) & (cands.b_id < bounds[bj + 1])
-            )
-            if bi == bj:
-                pass  # both endpoints in bi — keep already expresses it
-            if not np.any(keep):
-                continue
-            cands = seeding.Candidates(
-                a_id=cands.a_id[keep], b_id=cands.b_id[keep],
-                strand=cands.strand[keep], diag=cands.diag[keep],
-                n_seeds=cands.n_seeds[keep],
-            )
             norm = _normalize_candidates(cands, lengths, cfg.band)
             need = norm[-1]
             ka, kb, kd = norm[4], norm[5], norm[6]
@@ -358,17 +404,24 @@ def _escalate_and_build(
         aln_len = np.maximum(np.maximum(r_ae - r_as, r_be), 1)
         err1 = r_diffs / aln_len
         found1 = r_diffs < BIG
-        per_read: dict[int, list] = {}
-        for i in np.nonzero(found1)[0]:
-            per_read.setdefault(int(ka[i]) >> 1, []).append(err1[i])
-            per_read.setdefault(int(kb[i]) >> 1, []).append(err1[i])
-        e_half = {r: float(np.median(v)) / 2 for r, v in per_read.items()}
-        exp_pair = np.array(
-            [
-                e_half.get(int(ka[i]) >> 1, 0.0) + e_half.get(int(kb[i]) >> 1, 0.0)
-                for i in range(N)
-            ]
-        )
+        # vectorized per-read error medians (sorted-segment medians; the
+        # former per-alignment Python dict loop was a wall at 10^7+
+        # candidates).  Each found pair contributes its error to both reads;
+        # np.median semantics (mean of the two middles for even counts) are
+        # reproduced exactly.
+        f = np.nonzero(found1)[0]
+        e_half_arr = np.zeros(lengths.shape[0], dtype=np.float64)
+        if f.shape[0]:
+            rds = np.concatenate([ka[f] >> 1, kb[f] >> 1])
+            ers = np.concatenate([err1[f], err1[f]])
+            order = np.lexsort((ers, rds))
+            rds_s, ers_s = rds[order], ers[order]
+            uniq_r, starts = np.unique(rds_s, return_index=True)
+            counts = np.diff(np.append(starts, rds_s.shape[0]))
+            lo = ers_s[starts + (counts - 1) // 2]
+            hi = ers_s[starts + counts // 2]
+            e_half_arr[uniq_r] = (lo + hi) / 2.0 / 2.0
+        exp_pair = e_half_arr[ka >> 1] + e_half_arr[kb >> 1]
         mu_w = exp_pair * WINDOW
         win_thresh = mu_w + np.maximum(6.0 * np.sqrt(mu_w), 12.0)
         # escalation bookkeeping: a genuinely divergent pair (cross-
@@ -412,41 +465,13 @@ def _escalate_and_build(
                 np.minimum(lb_k[ridx], la_k[ridx] - kd[ridx] + W2).astype(np.int64)
                 + W2
             )
-            max_need_w = int(min(need_w.max(), cfg.max_jmax))
-            edges_w = [b for b in cfg.pallas_buckets if b < max_need_w]
-            k = 2
-            while k * cfg.seg < max_need_w:
-                if k * cfg.seg > (edges_w[-1] if edges_w else 0):
-                    edges_w.append(k * cfg.seg)
-                k *= 2
-            edges_w.append(
-                ((max_need_w + cfg.seg - 1) // cfg.seg) * cfg.seg
-                if max_need_w > cfg.pallas_buckets[0]
-                else cfg.pallas_buckets[0]
-            )
-            edges_w = sorted(set(edges_w))
-            pend_w = []
-            prev = 0
-            for bi, cap in enumerate(edges_w):
-                sel = (
-                    (need_w > prev) & (need_w <= cap)
-                    if bi + 1 < len(edges_w)
-                    else (need_w > prev)
+            pend_w = [
+                (ridx[sel_rel], outs)
+                for sel_rel, _cap, outs in _dispatch_bucketed(
+                    extender, ka[ridx], kb[ridx], kd[ridx], need_w, cfg,
+                    band=W2, tag=f".retry{W2}",
                 )
-                prev = cap
-                if not np.any(sel):
-                    continue
-                sub = ridx[sel]
-                outs = []
-                with metrics.stage(f"overlap.retry.j{cap}", pairs=sub.shape[0]):
-                    for s0 in range(0, sub.shape[0], _MAX_BATCH):
-                        chunk = sub[s0 : s0 + _MAX_BATCH]
-                        outs.append(
-                            extender.extend_async(
-                                ka[chunk], kb[chunk], kd[chunk], cap, band=W2
-                            )
-                        )
-                pend_w.append((sub, outs))
+            ]
             for sub, outs in pend_w:
                 parts = [extender.materialize(out, M) for out, M in outs]
                 nd = np.concatenate([p.diffs for p in parts])

@@ -716,8 +716,12 @@ class DeviceExtender:
             self._oriented = jax.device_put(oriented.astype(np.uint8))
             self._lengths = jax.device_put(lengths.astype(np.int32))
         self._runs: dict = {}
+        self._tables = None  # lazy myers window tables (build_myers_tables)
+        # wide escalation rungs under the myers backends fall back to the
+        # W-band kernel family (pallas seg / dp_core) — see MYERS_MAX_BAND
         self._use_pallas = (
-            backend in ("auto", "pallas") and jax.default_backend() == "tpu"
+            backend in ("auto", "pallas", "myers", "myers_pallas")
+            and jax.default_backend() == "tpu"
         )
 
     # widest band the segmented Pallas kernel fits in scoped VMEM at a
@@ -726,6 +730,19 @@ class DeviceExtender:
     # the few still-suspect pairs of the final rung, so scan-path speed is
     # irrelevant
     PALLAS_MAX_BAND = 256
+    # widest band the myers bit-vector kernels run at (rev window is
+    # rev_K(W) = K_of(W)+5 uint32 words of register state per lane); wider
+    # escalation rungs under the myers backends use the W-band family — each
+    # rung is an independent re-measurement, so mixing families across rungs
+    # is sound (every rung's result is valid at its own band)
+    MYERS_MAX_BAND = 128
+
+    def _is_tab_run(self, band: int | None) -> bool:
+        """True when (backend, band) routes to the table-driven myers_pallas
+        compute (argument layout differs — no oriented matrix, tables
+        instead); must match the branch in _get_run."""
+        W = self.band if band is None else band
+        return self.backend == "myers_pallas" and W <= self.MYERS_MAX_BAND
 
     def _get_run(self, jmax: int, block_b: int = 128, band: int | None = None):
         W = self.band if band is None else band
@@ -751,21 +768,30 @@ class DeviceExtender:
             return run
         import jax
         import jax.numpy as jnp
-        if self.backend in ("myers", "myers_pallas"):
+        if self.backend == "myers" and W <= self.MYERS_MAX_BAND:
             from functools import partial
 
-            if self.backend == "myers":
-                from phasm_tpu.overlap.myers import myers_compute
+            from phasm_tpu.overlap.myers import myers_compute
 
-                compute = partial(myers_compute, W=W, J=jmax)
-            else:
-                from phasm_tpu.overlap.myers_pallas import myers_pallas_compute
+            run = self._wrap_run(partial(myers_compute, W=W, J=jmax))
+            self._runs[key] = run
+            _GLOBAL_RUNS[gkey] = run
+            return run
+        if self._is_tab_run(W):
+            from functools import partial
 
-                compute = partial(
-                    myers_pallas_compute, W=W, J=jmax,
-                    interpret=jax.default_backend() != "tpu",
-                )
-            run = self._wrap_run(compute)
+            from phasm_tpu.overlap.myers_pallas import myers_pallas_compute_tab
+
+            core = partial(
+                myers_pallas_compute_tab,
+                LA=int(self._oriented.shape[1]), W=W, J=jmax,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+            def compute_tab(lengths, peq, bpk, a_oid, b_oid, d0):
+                return core(peq, bpk, lengths, a_oid, b_oid, d0)
+
+            run = self._wrap_run(compute_tab, tab=True)
             self._runs[key] = run
             _GLOBAL_RUNS[gkey] = run
             return run
@@ -861,9 +887,11 @@ class DeviceExtender:
         _GLOBAL_RUNS[gkey] = run
         return run
 
-    def _wrap_run(self, compute):
-        """jit a (oriented, lengths, a_oid, b_oid, d0) -> 5-tuple compute,
-        data-parallel over the mesh's dp axis when one is configured."""
+    def _wrap_run(self, compute, tab: bool = False):
+        """jit a (*replicated_leading, a_oid, b_oid, d0) -> 5-tuple compute,
+        data-parallel over the mesh's dp axis when one is configured.
+        Leading args: (oriented, lengths) normally; (lengths, peq, bpk) for
+        the table-driven myers_pallas path (tab=True)."""
         import jax
         import jax.numpy as jnp
 
@@ -878,16 +906,17 @@ class DeviceExtender:
             from jax.experimental.shard_map import shard_map  # type: ignore
 
         ax = self._axis
+        n_rep = 3 if tab else 2
 
-        def local(oriented, lengths, a_oid, b_oid, d0):
-            c, i0, ie, je, wn = compute(oriented, lengths, a_oid, b_oid, d0)
+        def local(*args):
+            c, i0, ie, je, wn = compute(*args)
             out = jnp.stack([c, i0, ie, je, wn], axis=1)  # [m, 5]
             return jax.lax.all_gather(out, ax, axis=0, tiled=True)
 
         sm = shard_map(
             local,
             mesh=self._mesh,
-            in_specs=(P(), P(), P(ax), P(ax), P(ax)),
+            in_specs=(P(),) * n_rep + (P(ax), P(ax), P(ax)),
             out_specs=P(),
             # all_gather replicates the output; the static varying-axes
             # checker cannot infer that
@@ -896,11 +925,44 @@ class DeviceExtender:
         shard = NamedSharding(self._mesh, P(ax))
         rep = NamedSharding(self._mesh, P())
 
-        def merged(oriented, lengths, a_oid, b_oid, d0):
-            o = sm(oriented, lengths, a_oid, b_oid, d0)
+        def merged(*args):
+            o = sm(*args)
             return o[:, 0], o[:, 1], o[:, 2], o[:, 3], o[:, 4]
 
-        return jax.jit(merged, in_shardings=(rep, rep, shard, shard, shard))
+        return jax.jit(
+            merged, in_shardings=(rep,) * n_rep + (shard, shard, shard)
+        )
+
+    def _ensure_tables(self):
+        """Build the whole-read myers window tables once (device-resident;
+        replicated on the mesh when one is configured)."""
+        if self._tables is not None:
+            return
+        import jax
+
+        from phasm_tpu.overlap.myers import build_myers_tables
+
+        if self._mesh is None:
+            key = ("myers_tables", None)
+            if key not in _GLOBAL_RUNS:
+                _GLOBAL_RUNS[key] = jax.jit(build_myers_tables)
+            build = _GLOBAL_RUNS[key]
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            key = (
+                "myers_tables",
+                tuple(d.id for d in self._mesh.devices.flat),
+            )
+            if key not in _GLOBAL_RUNS:
+                rep = NamedSharding(self._mesh, P())
+                _GLOBAL_RUNS[key] = jax.jit(
+                    build_myers_tables, out_shardings=rep
+                )
+            build = _GLOBAL_RUNS[key]
+        t = build(self._oriented, self._lengths)
+        self._tables = (t["peq"], t["bpk"])
 
     def extend_async(
         self, a_oid: np.ndarray, b_oid: np.ndarray, d0: np.ndarray, jmax: int,
@@ -937,7 +999,11 @@ class DeviceExtender:
 
             sh = NamedSharding(self._mesh, P(self._axis))
             idx_args = [_mesh_put(x, sh) for x in idx_args]
-        args = (self._oriented, self._lengths, *idx_args)
+        if self._is_tab_run(band):
+            self._ensure_tables()
+            args = (self._lengths, *self._tables, *idx_args)
+        else:
+            args = (self._oriented, self._lengths, *idx_args)
         try:
             out = run(*args)
         except Exception as e:

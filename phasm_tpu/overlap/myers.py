@@ -634,6 +634,178 @@ def _rev_prep(a_rows, b_rows, la, lb, iend, jend, d0, W: int, J: int):
     return peq_r, b2T_r, m0r * WB
 
 
+# ---------------------------------------------------------------------------
+# Table-driven window construction ("fast prep", round 3).
+#
+# The round-2 bisect showed the per-pair window gathers are the wall: a
+# vmapped dynamic_slice costs ~1.6 us PER ROW on TPU regardless of width or
+# dtype (XLA lowers per-row-offset gathers to a serialized loop), so the
+# three window chains (fwd peq, rev peq, rev b) burned ~81 ms per 16k-pair
+# batch against 12.7 ms of kernel time.  The fix: precompute whole-read peq
+# words and packed code words ONCE per oriented matrix, then build each
+# pair's window with a LOGARITHMIC BARREL SHIFT (static shifted copies
+# selected by the bits of the per-pair offset) plus one bit-level funnel
+# combine — pure elementwise VPU work, no gathers beyond one contiguous
+# row gather per table.  Bit-exact with _fwd_prep/_rev_prep through the
+# kernels (tests/test_myers_pallas.py::test_tab_prep_*).
+# ---------------------------------------------------------------------------
+
+F_TAB = 64  # table front-pad words.  Bounds (documented, property-tested):
+# fwd shift s = m0 + F_TAB with m0 >= -2 for any d0 >= 0;  rev word offset
+# q0 = (LA - iend + 32*m0r)//32 + F_TAB with 32*m0r >= -(64*K_of(W) + 128)
+# for any valid endpoint, so F_TAB = 64 covers W <= 512.
+
+
+def table_words(LA: int) -> tuple[int, int]:
+    """(PW, BW): peq words and packed-b words per table row for width LA."""
+    PW = F_TAB + (LA + WB - 1) // WB + 2
+    BW = (LA + 15) // 16 + 2
+    return PW, BW
+
+
+def build_myers_tables(oriented, lengths):
+    """Whole-read window tables (traceable; built once per oriented matrix).
+
+    oriented [n_o, LA] uint8 codes (row 2r = read r forward, 2r+1 revcomp);
+    lengths [n_reads] int32.  Returns dict:
+      peq [n_o, 8, PW] uint32 — planes 0..3: forward peq (bit t of word w:
+          a[32*(w - F_TAB) + t] == c, zero outside [0, la)); planes 4..7:
+          the same over flip rows flip[f] = a[LA-1-f] (zero where the flip
+          position falls outside the real read);
+      bpk [n_o, 2, BW] int32 — 2-bit packed codes, 16/word: plane 0 forward
+          (garbage beyond la — consumers gate j < lb), plane 1 flip rows.
+    """
+    import jax.numpy as jnp
+
+    n_o, LA = oriented.shape
+    PW, BW = table_words(LA)
+    la_row = lengths[jnp.arange(n_o) // 2]
+    pos = jnp.arange(LA, dtype=jnp.int32)[None, :]
+    PAD = jnp.asarray(4, oriented.dtype)
+    masked = jnp.where(pos < la_row[:, None], oriented, PAD)
+    flip = jnp.flip(masked, axis=1)  # flip[f] = a[LA-1-f], PAD off-read
+
+    def peq_rows(rows):
+        # [n_o, L] codes -> [n_o, 4, PW] uint32 with F_TAB front zero words
+        w = jnp.pad(
+            rows, ((0, 0), (F_TAB * WB, (PW - F_TAB) * WB - LA)),
+            constant_values=4,
+        )
+        return jnp.transpose(_build_peq(w, PW), (2, 1, 0))  # [n_o, 4, PW]
+
+    peq = jnp.concatenate([peq_rows(masked), peq_rows(flip)], axis=1)
+
+    def pack_rows(rows):
+        # [n_o, L] codes -> [n_o, BW] int32 (2 bits/code, 16/word)
+        import jax
+
+        w = jnp.pad(rows, ((0, 0), (0, BW * 16 - LA)))
+        v = (w.astype(jnp.uint32) & 3).reshape(n_o, BW, 16)
+        sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+        return jax.lax.bitcast_convert_type(
+            (v << sh).sum(axis=2, dtype=jnp.uint32), jnp.int32
+        )
+
+    bpk = jnp.stack([pack_rows(masked), pack_rows(flip)], axis=1)
+    return {"peq": peq, "bpk": bpk}
+
+
+def shift_words(x, s):
+    """Barrel shift along axis 0: out[w] = x[w + s] (zeros shifted in), with
+    per-pair non-negative s varying on the LAST axis.  log2(PW) levels of
+    static shifted copies + elementwise selects — no gather."""
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    zero_like = jnp.zeros_like
+    bcast = (None,) * (x.ndim - 1)
+    for j in range((max(n - 1, 1)).bit_length()):
+        step = 1 << j
+        if step >= n:
+            break
+        shifted = jnp.concatenate([x[step:], zero_like(x[:step])], axis=0)
+        bit = ((s >> j) & 1) == 1
+        x = jnp.where(bit[bcast], shifted, x)
+    return x
+
+
+def funnel_bits(x, delta):
+    """out[w] = (x[w] >> delta) | (x[w+1] << (32 - delta)) on uint32 words
+    (axis 0), per-pair delta in [0, 32) on the last axis.  Output has one
+    fewer word than x."""
+    import jax.numpy as jnp
+
+    d = delta.astype(jnp.uint32)[(None,) * (x.ndim - 1)]
+    lo = x[:-1] >> d
+    hi_sh = (jnp.uint32(32) - d) % jnp.uint32(32)
+    hi = jnp.where(d == 0, jnp.uint32(0), x[1:] << hi_sh)
+    return lo | hi
+
+
+def fwd_prep_tab(peqT, bpkT, la, d0, W: int, J: int):
+    """Forward window from transposed table rows.
+
+    peqT [PW, 8, B] uint32 (this pair-batch's gathered tables, transposed);
+    bpkT [BW, 2, B] int32.  Returns (peq_f [NBLK, 4, B], bpk_f [J/16, B],
+    la_rel, m0) — bit-identical consumption to _fwd_prep + _pack_b for the
+    Pallas kernels (garbage at gated positions may differ; kernels gate)."""
+    import jax.numpy as jnp
+
+    Kf = K_of(W)
+    NBLK = J // WB + Kf
+    m0 = fwd_anchor(d0, W)
+    x = shift_words(peqT[:, 0:4, :], m0 + F_TAB)
+    if x.shape[0] < NBLK:
+        x = jnp.pad(x, ((0, NBLK - x.shape[0]), (0, 0), (0, 0)))
+    peq_f = x[:NBLK]
+    JW = J // 16
+    b = bpkT[:, 0, :]
+    if b.shape[0] < JW:
+        b = jnp.pad(b, ((0, JW - b.shape[0]), (0, 0)))
+    return peq_f, b[:JW], la - m0 * WB, m0
+
+
+def rev_prep_tab(peqT, bpkT, LA: int, iend, jend, d0, W: int, J: int):
+    """Reverse window (anchored-end start recovery) from transposed tables.
+
+    Window word k bit t = flip-row peq bit at off + 32k + t where
+    off = (LA - iend) + 32*m0r — an ARBITRARY bit offset (iend is not
+    32-aligned), realized as word barrel shift + one bit funnel.  Rows
+    absrr < 0 (below the reversed prefix) are whole words k < -m0r, zeroed.
+    Returns (peq_r [NBLKr, 4, B], bpk_r [J/16, B], row_off)."""
+    import jax
+    import jax.numpy as jnp
+
+    Kr = rev_K(W)
+    NBLKr = J // WB + Kr
+    m0r = rev_anchor(iend, jend, d0, W)
+    obit = (LA - iend) + m0r * WB + F_TAB * WB
+    q0 = obit // WB
+    delta = obit % WB
+    x = shift_words(peqT[:, 4:8, :], q0)
+    if x.shape[0] < NBLKr + 1:
+        x = jnp.pad(x, ((0, NBLKr + 1 - x.shape[0]), (0, 0), (0, 0)))
+    peq_r = funnel_bits(x[: NBLKr + 1], delta)
+    # zero whole words below the reversed prefix (absrr < 0 <=> k < -m0r)
+    k_idx = jnp.arange(NBLKr, dtype=jnp.int32)[:, None, None]
+    peq_r = jnp.where(k_idx < (-m0r)[None, None, :], jnp.uint32(0), peq_r)
+
+    # packed reversed-b window: code j = flip-b code at cb + j, cb = LA - jend
+    cb = LA - jend
+    q0b = cb // 16
+    db = (2 * (cb % 16)).astype(jnp.uint32)
+    bx = jax.lax.bitcast_convert_type(
+        shift_words(bpkT[:, 1, :], q0b), jnp.uint32
+    )
+    JW = J // 16
+    if bx.shape[0] < JW + 1:
+        bx = jnp.pad(bx, ((0, JW + 1 - bx.shape[0]), (0, 0)))
+    bpk_r = jax.lax.bitcast_convert_type(
+        funnel_bits(bx[: JW + 1], db), jnp.int32
+    )
+    return peq_r, bpk_r, m0r * WB
+
+
 def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
     """Full traceable per-batch compute (fwd + start recovery).
 

@@ -577,3 +577,64 @@ def myers_pallas_compute(
     return myers_pallas_pair_core(
         a_rows, b_rows, la, lb, d0, W, J, interpret
     )
+
+
+def myers_pallas_compute_tab(
+    peq_tab, bpk_tab, lengths, a_oid, b_oid, d0, *, LA: int, W: int, J: int,
+    interpret: bool = False,
+):
+    """Table-driven production entry (round 3): windows built from the
+    precomputed whole-read tables (myers.build_myers_tables) via barrel
+    shift + funnel — no per-pair-offset gathers, no byte-level row gathers.
+    Bit-identical outputs to myers_pallas_compute (tested); the only
+    remaining per-pair data movement is one contiguous row gather per
+    table.  LA is the static oriented-matrix width the tables were built
+    from."""
+    import jax.numpy as jnp
+
+    from phasm_tpu.overlap.extend import BIG
+    from phasm_tpu.overlap.myers import fwd_prep_tab, rev_prep_tab
+
+    B0 = a_oid.shape[0]
+    # mesh shards can fall below the 1024-pair kernel block: pad in-trace
+    # with benign oid-0 pairs, slice the outputs back
+    B = -(-B0 // (BLK_ROWS * 128)) * (BLK_ROWS * 128)
+    if B != B0:
+        a_oid = jnp.pad(a_oid, (0, B - B0))
+        b_oid = jnp.pad(b_oid, (0, B - B0))
+        d0 = jnp.pad(d0, (0, B - B0))
+    la = lengths[a_oid >> 1]
+    lb = lengths[b_oid >> 1]
+    peqT = jnp.transpose(peq_tab[a_oid], (2, 1, 0))  # [PW, 8, B]
+    bpkT = jnp.transpose(bpk_tab[b_oid], (2, 1, 0))  # [BW, 2, B]
+
+    peq_f, bpk_f, la_rel, m0 = fwd_prep_tab(peqT, bpkT, la, d0, W, J)
+    fwd = _get_fwd(W, J, interpret)
+    cost_f, iend_rel, jend, win = [
+        x.reshape(B)
+        for x in fwd(
+            _q(la_rel), _q(la), _q(lb), _q(d0), _q(peq_f), _q(bpk_f)
+        )
+    ]
+    iend = iend_rel + m0 * WB
+
+    peq_r, bpk_r, row_off = rev_prep_tab(
+        peqT, bpkT, LA, iend, jend, d0, W, J
+    )
+    rev = _get_rev(W, J, interpret)
+    cost_r, best_row = [
+        x.reshape(B)
+        for x in rev(_q(row_off), _q(iend), _q(jend), _q(peq_r), _q(bpk_r))
+    ]
+    i0 = iend - best_row
+
+    cost_r = jnp.where(jend == 0, 0, cost_r)
+    i0 = jnp.where(jend == 0, iend, i0)
+    valid = cost_f < MBIG
+    return (
+        jnp.where(valid, cost_r, jnp.int32(BIG))[:B0],
+        jnp.where(valid, i0, 0)[:B0],
+        jnp.where(valid, iend, 0)[:B0],
+        jnp.where(valid, jend, 0)[:B0],
+        jnp.where(valid, win, 0)[:B0],
+    )

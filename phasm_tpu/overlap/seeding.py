@@ -144,8 +144,13 @@ class Candidates:
         return int(self.a_id.shape[0])
 
 
-def emit_pairs_np(seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig):
-    """numpy oracle for raw pair emission: (a, b, strand, diag) arrays."""
+def emit_pairs_np(
+    seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig, cross_split: int = -1
+):
+    """numpy oracle for raw pair emission: (a, b, strand, diag) arrays.
+
+    cross_split >= 0 emits only pairs with a < cross_split <= b (block-tile
+    mode, see overlap_reads_blocked)."""
     order = np.lexsort((seeds.read_id, seeds.canon))
     canon = seeds.canon[order]
     rid = seeds.read_id[order]
@@ -183,6 +188,11 @@ def emit_pairs_np(seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig):
     i2 = np.where(swap, j, i)
     j2 = np.where(swap, i, j)
     a, b = rid[i2], rid[j2]
+    if cross_split >= 0:
+        keep2 = (a < cross_split) & (b >= cross_split)
+        i2, j2, a, b = i2[keep2], j2[keep2], a[keep2], b[keep2]
+        if a.shape[0] == 0:
+            return z, z, z, z
     pa_, pb_ = pos[i2], pos[j2]
     oa, ob = ori[i2], ori[j2]
 
@@ -198,12 +208,18 @@ def emit_pairs_np(seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig):
 
 
 def match_seeds(
-    seeds: Seeds, lengths: np.ndarray, cfg: SeedConfig, use_native: bool = True
+    seeds: Seeds,
+    lengths: np.ndarray,
+    cfg: SeedConfig,
+    use_native: bool = True,
+    cross_split: int = -1,
 ) -> Candidates:
     """Sort-merge seed matching -> candidate pair histogram.
 
     Raw pair emission runs in C++ when available (bit-identical pair SET;
     the histogram below is order-insensitive), numpy otherwise.
+    cross_split >= 0 emits only pairs with a < cross_split <= b (block-tile
+    mode, see overlap_reads_blocked).
     """
     out = None
     if use_native:
@@ -211,7 +227,7 @@ def match_seeds(
 
         out = native.match_seed_pairs_native(
             seeds.read_id, seeds.pos, seeds.canon, seeds.orient,
-            lengths, cfg.k, cfg.max_occ,
+            lengths, cfg.k, cfg.max_occ, cross_split,
         )
     if out is not None:
         from phasm_tpu import metrics
@@ -219,7 +235,7 @@ def match_seeds(
         metrics.incr("overlap.seed.native_pairs")
         a, b, st, diag = out
     else:
-        a, b, st, diag = emit_pairs_np(seeds, lengths, cfg)
+        a, b, st, diag = emit_pairs_np(seeds, lengths, cfg, cross_split)
     if a.shape[0] == 0:
         z = np.zeros(0, np.int32)
         return Candidates(z, z, z, z, z)

@@ -1,10 +1,11 @@
-"""Measure the Myers bit-vector backend vs the round-1 Pallas kernel on TPU.
+"""Measure overlap-extension backends on TPU through the PRODUCTION path
+(DeviceExtender.extend_async + materialize, exactly what overlap_reads
+runs), plus the Myers kernel-only rate for roofline tracking.
 
 Same workload as bench.py (completing dovetail pairs, ~5% error, jmax 2048,
-M=16384), device-resident operands, fetch-barrier timing (block_until_ready
-does not synchronize through the axon tunnel).  Prints one JSON line with
-both throughputs so ROOFLINE.md can record the measured Myers number
-(VERDICT r1 #3: ">=2x Gcells/s measured").
+M=16384), fetch-barrier timing (block_until_ready does not synchronize
+through the axon tunnel).  Prints one JSON line; the driver artifact for
+round N is MYERS_TPU_r{N}.json.
 
     python scripts/myers_tpu_bench.py [--iters 20] [--m 16384]
 """
@@ -12,28 +13,12 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from bench import make_batch, put_chunked, robust
-
-
-def _timed(run, args, iters):
-    out = robust(lambda: run(*args), "compile+warm", delays=(10, 30, 60))
-    warm = robust(lambda: np.asarray(out[0]), "warm sync")
-
-    def loop():
-        t0 = time.time()
-        o = None
-        for _ in range(iters):
-            o = run(*args)
-        np.asarray(o[0])  # fetch barrier (tunnel: only a fetch synchronizes)
-        return (time.time() - t0) / iters
-
-    return robust(loop, "timed loop"), warm
+from bench import _myers_kernel_only, _production_throughput, make_batch
 
 
 def main():
@@ -42,14 +27,17 @@ def main():
     ap.add_argument("--m", type=int, default=16384)
     ap.add_argument("--jmax", type=int, default=2048)
     ap.add_argument("--band", type=int, default=64)
-    ap.add_argument("--skip-pallas", action="store_true")
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated backend list (overrides default)")
+    ap.add_argument("--skip-kernel-only", action="store_true")
     args = ap.parse_args()
 
     import jax
 
-    from phasm_tpu.overlap.extend import DeviceExtender, _enable_compilation_cache
+    from phasm_tpu.overlap.extend import (
+        DeviceExtender,
+        _enable_compilation_cache,
+    )
 
     _enable_compilation_cache()
     backend = jax.default_backend()
@@ -57,57 +45,43 @@ def main():
     READ_LEN, N_READS = 4096, 512
 
     rng = np.random.default_rng(0)
-    oriented, lengths, a_oid, b_oid, d0 = make_batch(rng, N_READS, READ_LEN, M, JMAX)
-
-    # device-resident operands, uploaded once (uint8, chunked through tunnel)
-    dev_oriented = put_chunked(oriented)
-    dev = {}
-    for name, x in (
-        ("lengths", lengths.astype(np.int32)),
-        ("a_oid", a_oid.astype(np.int32)),
-        ("b_oid", b_oid.astype(np.int32)),
-        ("d0", d0.astype(np.int32)),
-    ):
-        dev[name] = robust(lambda x=x: jax.device_put(x), f"upload {name}")
-    call_args = (dev_oriented, dev["lengths"], dev["a_oid"], dev["b_oid"], dev["d0"])
-
-    results = {"backend": backend, "band": W, "jmax": JMAX, "m": M, "iters": iters}
-
-    names = ("myers", "myers_pallas") if args.skip_pallas else (
-        "pallas", "myers", "myers_pallas"
+    oriented, lengths, a_oid, b_oid, d0 = make_batch(
+        rng, N_READS, READ_LEN, M, JMAX
     )
+    d0 = d0.astype(np.int32)
+
+    results = {"backend": backend, "band": W, "jmax": JMAX, "m": M,
+               "iters": iters, "path": "production(DeviceExtender)"}
+
+    names = ("pallas", "myers_pallas")
     if args.only:
         names = tuple(args.only.split(","))
     for name in names:
-        ext = DeviceExtender.__new__(DeviceExtender)
-        ext.band = W
-        ext.backend = name
-        ext._mesh = None
-        ext._axis = "dp"
-        ext._runs = {}
-        ext._use_pallas = name == "pallas" and backend == "tpu"
-        ext._oriented = dev_oriented
-        ext._lengths = dev["lengths"]
-        run = ext._get_run(JMAX)
-        dt, warm_cost = _timed(run, call_args, iters)
-        found = int((warm_cost < (1 << 15)).sum())
+        ext = DeviceExtender(oriented, lengths, band=W, backend=name)
+        dt = _production_throughput(ext, a_oid, b_oid, d0, JMAX, M, iters)
         aps = M / dt
-        # cells: Pallas computes W cells/column over JMAX columns; Myers
-        # computes 32*K(W) cells/column (block-band window incl. margin)
         results[name] = {
             "seconds_per_batch": round(dt, 4),
             "alignments_per_sec": round(aps, 1),
-            "found": found,
         }
-        print(f"# {name}: {aps:,.0f} aligns/s ({found}/{M} found)",
+        print(f"# {name} (production): {aps:,.0f} aligns/s", file=sys.stderr)
+
+    if not args.skip_kernel_only:
+        dtk = _myers_kernel_only(
+            oriented, lengths, a_oid, b_oid, d0, W, JMAX, iters
+        )
+        results["myers_kernel_only"] = {
+            "seconds_per_batch": round(dtk, 4),
+            "alignments_per_sec": round(M / dtk, 1),
+        }
+        print(f"# myers fwd+rev kernel-only: {M / dtk:,.0f} aligns/s",
               file=sys.stderr)
 
-    for other in ("myers", "myers_pallas"):
-        if "pallas" in results and other in results:
-            results[f"{other}_speedup"] = round(
-                results[other]["alignments_per_sec"]
-                / results["pallas"]["alignments_per_sec"], 2,
-            )
+    if "pallas" in results and "myers_pallas" in results:
+        results["myers_pallas_speedup"] = round(
+            results["myers_pallas"]["alignments_per_sec"]
+            / results["pallas"]["alignments_per_sec"], 2,
+        )
     print(json.dumps(results))
 
 

@@ -94,6 +94,87 @@ def test_pallas_matches_jnp_edge_cases():
 
 
 # ---------------------------------------------------------------------------
+# table-driven window construction (fast prep, round 3) == gather-based prep
+# ---------------------------------------------------------------------------
+
+
+def _as_oriented(a, b, la, lb):
+    """Pack per-pair rows into an oriented matrix: pair p's a-row is read p
+    (oid 2p), its b-row is read B+p (oid 2(B+p)); lengths = concat(la, lb)."""
+    B, LA = a.shape
+    LB = b.shape[1]
+    L = max(LA, LB)
+    oriented = np.full((4 * B, L), 9, dtype=np.uint8)
+    oriented[2 * np.arange(B), :LA] = a
+    oriented[2 * (B + np.arange(B)), :LB] = b
+    a_oid = (2 * np.arange(B)).astype(np.int32)
+    b_oid = (2 * (B + np.arange(B))).astype(np.int32)
+    lengths = np.concatenate([la, lb]).astype(np.int32)
+    return oriented, lengths, a_oid, b_oid
+
+
+def _run_tab_vs_gather(a, b, la, lb, d0, W, J):
+    import jax
+
+    from phasm_tpu.overlap.myers import build_myers_tables
+
+    oriented, lengths, a_oid, b_oid = _as_oriented(a, b, la, lb)
+    d0 = d0.astype(np.int32)
+    want = MP.myers_pallas_compute(
+        oriented, lengths, a_oid, b_oid, d0, W=W, J=J, interpret=True
+    )
+    t = jax.jit(build_myers_tables)(oriented, lengths)
+    got = MP.myers_pallas_compute_tab(
+        t["peq"], t["bpk"], lengths, a_oid, b_oid, d0,
+        LA=oriented.shape[1], W=W, J=J, interpret=True,
+    )
+    names = ("cost", "i0", "iend", "jend", "win")
+    for n, w, g in zip(names, want, got):
+        w = np.asarray(w)
+        g = np.asarray(g)
+        bad = np.nonzero(w != g)[0]
+        assert bad.size == 0, (
+            n, bad[:10], w[bad[:10]], g[bad[:10]],
+            la[bad[:10]], lb[bad[:10]], d0[bad[:10]],
+        )
+
+
+@pytest.mark.parametrize("W", [64, 128])
+def test_tab_prep_matches_gather_random(W):
+    rng = np.random.default_rng(800 + W)
+    for err in (0.03, 0.15):
+        a, b, la, lb, d0 = random_overlap_case(rng, B=24, la_max=320, err=err)
+        a, b, la, lb, d0 = _pad_case(a, b, la, lb, d0)
+        _run_tab_vs_gather(a, b, la, lb, d0, W, 512)
+
+
+def test_tab_prep_matches_gather_edges():
+    """Anchor extremes: d0 = 0 (m0 = -2), d0 near la (max fwd shift), long
+    b (lb > J), tiny reads — exercises front-pad words, funnel deltas 0/31,
+    and the k < -m0r whole-word rev mask."""
+    rng = np.random.default_rng(5)
+    B = 8
+    LA, LB = 256, 700
+    a = np.full((B, LA), 9, dtype=np.uint8)
+    b = np.full((B, LB), 9, dtype=np.uint8)
+    la = np.array([200, 256, 64, 250, 33, 96, 256, 128], dtype=np.int64)
+    lb = np.array([200, 30, 64, 128, 1, 96, 700, 60], dtype=np.int64)
+    d0 = np.array([0, 220, 2, 245, 0, 0, 10, 100], dtype=np.int64)
+    for p in range(B):
+        a[p, : la[p]] = rng.integers(0, 4, la[p])
+    b[0, :200] = np.concatenate([a[0, :150], rng.integers(0, 4, 50)])
+    b[1, :30] = a[1, 220:250]
+    b[2, :64] = (a[2, 2:66] + 1) % 4
+    b[3, :5] = a[3, 245:250]
+    b[4, :1] = a[4, :1]
+    b[5, :96] = a[5, :96]
+    b[6, :700] = rng.integers(0, 4, 700)
+    b[7, :60] = a[7, 100:160]
+    a, b, la, lb, d0 = _pad_case(a, b, la, lb, d0)
+    _run_tab_vs_gather(a, b, la, lb, d0, 64, 512)
+
+
+# ---------------------------------------------------------------------------
 # production-engine integration (backend="myers_pallas")
 # ---------------------------------------------------------------------------
 

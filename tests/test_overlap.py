@@ -421,3 +421,43 @@ def test_blocked_overlap_bit_identical():
         assert len(t1) > 100
         assert np.array_equal(t1.as_matrix(), tb.as_matrix()), f"n_blocks={nb}"
         assert np.array_equal(t1.win, tb.win), f"n_blocks={nb}"
+
+
+def test_blocked_overlap_bit_identical_repeat_rich():
+    """Blocked == unblocked where the max_occ repeat filter actually FIRES.
+
+    A k-mer globally over max_occ can fall under max_occ inside a tile's
+    seed subset; without the global pre-drop the blocked engine would emit
+    extra repeat-induced candidates (the DALIGNER global-repeat-mask
+    property).  max_occ is set below the dataset coverage so ordinary
+    genomic k-mers exceed it globally but not per-tile."""
+    import numpy as np
+
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.overlap.engine import overlap_reads_blocked
+    from phasm_tpu.overlap.seeding import SeedConfig, extract_minimizers
+    from phasm_tpu.sim import simulate_reads
+
+    rs, _ = simulate_reads(
+        seed=23, genome_len=8_000, ploidy=1, coverage=18, mean_read_len=900,
+        error_rate=0.03, read_len_spread=0.2,
+    )
+    cfg = OverlapConfig(
+        backend="jnp",
+        seed=SeedConfig(max_occ=8),
+    )
+    # precondition: the filter must actually fire globally while per-tile
+    # subsets (~1/2 the reads for n_blocks=4 cross tiles) can dip under it
+    seeds = extract_minimizers(rs.codes, rs.lengths.astype(np.int32), cfg.seed)
+    _, cnt = np.unique(seeds.canon, return_counts=True)
+    assert (cnt > cfg.seed.max_occ).any(), "test genome never trips max_occ"
+    assert ((cnt > cfg.seed.max_occ) & (cnt <= 2 * cfg.seed.max_occ)).any(), (
+        "need k-mers that fall under max_occ in a half-size tile subset"
+    )
+
+    t1 = overlap_reads(rs, cfg)
+    assert len(t1) > 50
+    for nb in (2, 4):
+        tb = overlap_reads_blocked(rs, cfg, n_blocks=nb)
+        assert np.array_equal(t1.as_matrix(), tb.as_matrix()), f"n_blocks={nb}"
+        assert np.array_equal(t1.win, tb.win), f"n_blocks={nb}"

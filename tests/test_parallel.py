@@ -57,6 +57,24 @@ def test_engine_on_mesh_matches_single_device():
     assert np.array_equal(t1.as_matrix(), t2.as_matrix())
 
 
+def test_engine_on_mesh_myers_pallas_tab():
+    """The table-driven myers_pallas path on a mesh (tables replicated,
+    index vectors sharded) == single-device, bit-identical."""
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.sim import simulate_reads
+
+    rs, _ = simulate_reads(
+        seed=9, genome_len=5_000, ploidy=1, coverage=8, mean_read_len=700,
+        error_rate=0.05, read_len_spread=0.2,
+    )
+    cfg = OverlapConfig(backend="myers_pallas")
+    t1 = overlap_reads(rs, cfg)
+    t4 = overlap_reads(rs, cfg, mesh=make_mesh(4))
+    assert len(t1) > 50
+    assert np.array_equal(t1.as_matrix(), t4.as_matrix())
+    assert np.array_equal(t1.win, t4.win)
+
+
 def test_sharded_extend_2_device_subset():
     rng = np.random.default_rng(1)
     N, L, W, JMAX = 16, 256, 16, 128
