@@ -103,6 +103,24 @@ def ladder() -> list[LadderConfig]:
                 adaptive_error=True, polish=True,
             ),
         ),
+        LadderConfig(
+            name="c6_scale_10mb",
+            description=(
+                "Scale rung (VERDICT r2 #5): 10 Mb haploid stand-in, ~20x, "
+                "~25k reads / ~10^6 candidate pairs — exercises the blocked "
+                "engine, chunked HBM upload, and the vectorized host tail "
+                "at reference-workload order of magnitude"
+            ),
+            sim=dict(
+                seed=6, genome_len=10_000_000, ploidy=1, coverage=20,
+                mean_read_len=8000, error_rate=0.06, read_len_spread=0.3,
+            ),
+            overlap=OverlapConfig(min_overlap=1000),
+            pipeline=PipelineConfig(
+                min_overlap_length=1000, max_error_rate=0.16,
+                length_fuzz=1000, polish=True,
+            ),
+        ),
     ]
 
 

@@ -143,7 +143,13 @@ def _resolve_backend(cfg: OverlapConfig) -> str:
     if backend == "auto":
         import jax
 
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        # TPU default: the table-driven Myers bit-vector backend — 3.0x the
+        # cell-per-lane production path on the driver workload (round 3,
+        # MYERS_TPU_r3.json: 721k vs 239k aligns/s/chip).  Block-band
+        # semantics per myers.myers_oracle (oracle-pinned, full pipeline
+        # suite green on it); wide escalation rungs (> MYERS_MAX_BAND) use
+        # the W-band family.  CPU keeps the jnp scan path (fastest there).
+        backend = "myers_pallas" if jax.default_backend() == "tpu" else "jnp"
     return backend
 
 

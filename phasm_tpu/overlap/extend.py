@@ -553,6 +553,26 @@ def _make_pallas_extend(band: int, jmax: int, block_b: int = 128, interpret: boo
     return run
 
 
+def put_chunked(x: np.ndarray, max_bytes: int = 8 << 20):
+    """device_put in <=max_bytes chunks along the last axis.
+
+    The axon tunnel drops large transfers; big arrays (the oriented matrix
+    of a 10 Mb+ read set is ~1 GB) must ship in small pieces and be
+    reassembled on device.  Small arrays take the one-shot path."""
+    import jax
+    import jax.numpy as jnp
+
+    if x.nbytes <= max_bytes:
+        return jax.device_put(x)
+    n = x.shape[-1]
+    per_col = max(1, x.nbytes // max(n, 1))
+    cols = max(1, max_bytes // per_col)
+    parts = []
+    for s in range(0, n, cols):
+        parts.append(jax.device_put(np.ascontiguousarray(x[..., s : s + cols])))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _mesh_put(x: np.ndarray, sharding):
     """device_put that also works when the mesh spans multiple processes.
 
@@ -712,8 +732,9 @@ class DeviceExtender:
             self._oriented = _mesh_put(oriented.astype(np.uint8), rep)
             self._lengths = _mesh_put(lengths.astype(np.int32), rep)
         else:
-            # upload as uint8 (4x less tunnel traffic), cast on device per batch
-            self._oriented = jax.device_put(oriented.astype(np.uint8))
+            # upload as uint8 (4x less tunnel traffic), chunked (the tunnel
+            # drops single large transfers), cast on device per batch
+            self._oriented = put_chunked(oriented.astype(np.uint8))
             self._lengths = jax.device_put(lengths.astype(np.int32))
         self._runs: dict = {}
         self._tables = None  # lazy myers window tables (build_myers_tables)

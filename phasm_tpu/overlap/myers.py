@@ -650,10 +650,13 @@ def _rev_prep(a_rows, b_rows, la, lb, iend, jend, d0, W: int, J: int):
 # kernels (tests/test_myers_pallas.py::test_tab_prep_*).
 # ---------------------------------------------------------------------------
 
-F_TAB = 64  # table front-pad words.  Bounds (documented, property-tested):
-# fwd shift s = m0 + F_TAB with m0 >= -2 for any d0 >= 0;  rev word offset
-# q0 = (LA - iend + 32*m0r)//32 + F_TAB with 32*m0r >= -(64*K_of(W) + 128)
-# for any valid endpoint, so F_TAB = 64 covers W <= 512.
+F_TAB = 16  # table front-pad words.  Bounds (property-tested):
+# fwd shift s = m0 + F_TAB with m0 >= -2 for any d0 >= 0.  rev word offset
+# q0 = (LA - iend + 32*m0r + 32*F_TAB)//32 >= 0 because any valid endpoint
+# satisfies iend >= base + jend - 31 (the window contains the endpoint) and
+# la <= LA, which gives off = LA - iend + 32*m0r >= -(32*K_of(W) + 94) —
+# so F_TAB >= K_of(W) + 4 suffices; 16 covers W <= 256 with margin (wider
+# bands never reach the myers kernels: DeviceExtender.MYERS_MAX_BAND).
 
 
 def table_words(LA: int) -> tuple[int, int]:
