@@ -757,13 +757,27 @@ class DeviceExtender:
     # rung is an independent re-measurement, so mixing families across rungs
     # is sound (every rung's result is valid at its own band)
     MYERS_MAX_BAND = 128
+    # scoped-VMEM budget for the myers kernels' double-buffered input
+    # streams (v5e scoped limit is 16 MB; leave headroom for outputs and
+    # the compiler's own stack) — combos over budget (long-J buckets) route
+    # to the segmented W-band kernels, which stream columns through fixed
+    # VMEM windows at any J
+    MYERS_VMEM_BUDGET = 14 << 20
 
-    def _is_tab_run(self, band: int | None) -> bool:
-        """True when (backend, band) routes to the table-driven myers_pallas
-        compute (argument layout differs — no oriented matrix, tables
-        instead); must match the branch in _get_run."""
+    def _myers_fits(self, W: int, jmax: int) -> bool:
+        from phasm_tpu.overlap.myers_pallas import kernel_vmem_bytes
+
+        return (
+            W <= self.MYERS_MAX_BAND
+            and kernel_vmem_bytes(W, jmax) <= self.MYERS_VMEM_BUDGET
+        )
+
+    def _is_tab_run(self, band: int | None, jmax: int) -> bool:
+        """True when (backend, band, jmax) routes to the table-driven
+        myers_pallas compute (argument layout differs — no oriented matrix,
+        tables instead); must match the branch in _get_run."""
         W = self.band if band is None else band
-        return self.backend == "myers_pallas" and W <= self.MYERS_MAX_BAND
+        return self.backend == "myers_pallas" and self._myers_fits(W, jmax)
 
     def _get_run(self, jmax: int, block_b: int = 128, band: int | None = None):
         W = self.band if band is None else band
@@ -790,6 +804,7 @@ class DeviceExtender:
         import jax
         import jax.numpy as jnp
         if self.backend == "myers" and W <= self.MYERS_MAX_BAND:
+            # jnp core: no VMEM stack limit (XLA-scheduled), band gate only
             from functools import partial
 
             from phasm_tpu.overlap.myers import myers_compute
@@ -798,7 +813,7 @@ class DeviceExtender:
             self._runs[key] = run
             _GLOBAL_RUNS[gkey] = run
             return run
-        if self._is_tab_run(W):
+        if self._is_tab_run(W, jmax):
             from functools import partial
 
             from phasm_tpu.overlap.myers_pallas import myers_pallas_compute_tab
@@ -1020,7 +1035,7 @@ class DeviceExtender:
 
             sh = NamedSharding(self._mesh, P(self._axis))
             idx_args = [_mesh_put(x, sh) for x in idx_args]
-        if self._is_tab_run(band):
+        if self._is_tab_run(band, jmax):
             self._ensure_tables()
             args = (self._lengths, *self._tables, *idx_args)
         else:

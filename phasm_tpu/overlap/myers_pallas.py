@@ -38,6 +38,20 @@ from phasm_tpu.overlap.myers import (
 BLK_ROWS = 8  # pair-block = 8 sublanes x 128 lanes = 1024 pairs
 
 
+def kernel_vmem_bytes(W: int, J: int) -> int:
+    """Scoped-VMEM footprint estimate for the worse of the fwd/rev kernels.
+
+    Each grid step streams the peq [NBLK, 4, 8, 128] u32 and bpk
+    [J/16, 8, 128] i32 blocks through double-buffered VMEM windows (x2).
+    The (8, 128) scalar tiles and outputs are noise next to these.  Used by
+    DeviceExtender to route (W, J) combos that exceed the scoped limit to
+    the segmented W-band kernels instead (a J=12288 rung OOM'd at 18.2 MB
+    vs the 16 MB scoped limit on v5e — LADDER r3 c3)."""
+    tile = BLK_ROWS * 128 * 4
+    nblk = J // WB + rev_K(W)  # rev_K > K_of: the rev kernel dominates
+    return 2 * (nblk * 4 + J // 16) * tile
+
+
 def _popcount32(v):
     """SWAR popcount on uint32 (8,128) tiles — no multiply, no lowering
     dependence on lax.population_count inside Mosaic."""

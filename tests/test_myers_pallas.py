@@ -194,3 +194,26 @@ def test_engine_myers_pallas_matches_myers():
     t_pl = overlap_reads(rs, OverlapConfig(backend="myers_pallas"))
     assert len(t_jnp) > 50
     assert np.array_equal(t_jnp.as_matrix(), t_pl.as_matrix())
+
+
+def test_myers_vmem_gate_routes_long_j_to_wband():
+    """(W, J) combos whose kernel streams exceed scoped VMEM must NOT route
+    to the myers kernels (a J=12288 rung OOM'd at 18.2 MB vs the 16 MB v5e
+    scoped limit — LADDER r3 c3); they fall back to the segmented W-band
+    family, which streams columns through fixed VMEM windows."""
+    from phasm_tpu.overlap.extend import DeviceExtender
+    from phasm_tpu.overlap.myers_pallas import kernel_vmem_bytes
+
+    # the observed OOM shape is over budget; the driver workload fits
+    assert kernel_vmem_bytes(64, 12288) > DeviceExtender.MYERS_VMEM_BUDGET
+    assert kernel_vmem_bytes(64, 2048) <= DeviceExtender.MYERS_VMEM_BUDGET
+    assert kernel_vmem_bytes(64, 8192) <= DeviceExtender.MYERS_VMEM_BUDGET
+    assert kernel_vmem_bytes(128, 8192) <= DeviceExtender.MYERS_VMEM_BUDGET
+
+    oriented = np.zeros((4, 256), dtype=np.uint8)
+    lengths = np.full(2, 256, dtype=np.int32)
+    ext = DeviceExtender(oriented, lengths, band=64, backend="myers_pallas")
+    assert ext._is_tab_run(None, 2048)
+    assert ext._is_tab_run(None, 8192)
+    assert not ext._is_tab_run(None, 12288)   # -> W-band segmented kernel
+    assert not ext._is_tab_run(256, 2048)     # over MYERS_MAX_BAND
