@@ -327,26 +327,6 @@ def myers_fwd_core(peq, b2T, la_rel, la, lb, d0, W: int):
         (VP, VN, s_top, s_bot, s_la, below, state,
          wprev, wmax, wprev2, wmax2) = carry
 
-        # --- uniform shift at block start (skip blk 0), per-pair gated so
-        # each pair's band freezes at its own lb ---
-        act_s = (blk > 0) & (blk * WB < lb)
-        d_top = (
-            jax.lax.population_count(VP[0]).astype(jnp.int32)
-            - jax.lax.population_count(VN[0]).astype(jnp.int32)
-        )
-        s_top = jnp.where(act_s, s_top + d_top, s_top)
-        VP = tuple(
-            jnp.where(act_s, VP[k + 1], VP[k]) for k in range(K - 1)
-        ) + (jnp.where(act_s, all1_u, VP[K - 1]),)
-        VN = tuple(
-            jnp.where(act_s, VN[k + 1], VN[k]) for k in range(K - 1)
-        ) + (jnp.where(act_s, zero_u, VN[K - 1]),)
-        s_bot = jnp.where(act_s, s_bot + WB, s_bot)
-        # la enters through the new bottom word: D[bot - x] = D[bot] - x
-        enter = below & act_s & (la_rel <= (blk + K) * WB)
-        s_la = jnp.where(enter, s_bot - ((blk + K) * WB - la_rel), s_la)
-        below = below & ~enter
-
         # --- contiguous per-block tensor slices (no per-lane gathers) ---
         pq = jax.lax.dynamic_slice_in_dim(peq, blk, K, axis=0)  # [K, 4, B]
         bb = jax.lax.dynamic_slice_in_dim(b2T, blk * WB, WB, axis=0)
@@ -427,6 +407,32 @@ def myers_fwd_core(peq, b2T, la_rel, la, lb, d0, W: int):
             (wprev, wmax, wprev2, wmax2),
         )
 
+        # --- uniform shift at block END (the shift of block blk+1 hoisted
+        # here; per-pair gated so each band freezes at its own lb).  The
+        # shift-at-start form's `(blk > 0) &` conjunct is MISCOMPILED by
+        # XLA-TPU in the rev core (true at blk == 0, hardware only); both
+        # cores use the end form so neither carries the fragile pattern.
+        # For lb > J pairs this performs one extra final shift the start
+        # form didn't; their extraction is gated off by reached_end, so
+        # outputs are unchanged (oracle suites + TPU cross-check). ---
+        act_s = (blk + 1) * WB < lb
+        d_top = (
+            jax.lax.population_count(VP[0]).astype(jnp.int32)
+            - jax.lax.population_count(VN[0]).astype(jnp.int32)
+        )
+        s_top = jnp.where(act_s, s_top + d_top, s_top)
+        VP = tuple(
+            jnp.where(act_s, VP[k + 1], VP[k]) for k in range(K - 1)
+        ) + (jnp.where(act_s, all1_u, VP[K - 1]),)
+        VN = tuple(
+            jnp.where(act_s, VN[k + 1], VN[k]) for k in range(K - 1)
+        ) + (jnp.where(act_s, zero_u, VN[K - 1]),)
+        s_bot = jnp.where(act_s, s_bot + WB, s_bot)
+        # la enters through the new bottom word: D[bot - x] = D[bot] - x
+        enter = below & act_s & (la_rel <= (blk + 1 + K) * WB)
+        s_la = jnp.where(enter, s_bot - ((blk + 1 + K) * WB - la_rel), s_la)
+        below = below & ~enter
+
         return (VP, VN, s_top, s_bot, s_la, below, state,
                 wprev, wmax, wprev2, wmax2)
 
@@ -494,19 +500,6 @@ def myers_rev_core(peq, b2T, row_off, la, lb, W: int):
 
     def block_body(blk, carry):
         VP, VN, s_top = carry
-        act_s = (blk > 0) & (blk * WB < lb)
-        d_top = (
-            jax.lax.population_count(VP[0]).astype(jnp.int32)
-            - jax.lax.population_count(VN[0]).astype(jnp.int32)
-        )
-        s_top = jnp.where(act_s, s_top + d_top, s_top)
-        VP = tuple(
-            jnp.where(act_s, VP[k + 1], VP[k]) for k in range(K - 1)
-        ) + (jnp.where(act_s, all1_u, VP[K - 1]),)
-        VN = tuple(
-            jnp.where(act_s, VN[k + 1], VN[k]) for k in range(K - 1)
-        ) + (jnp.where(act_s, zero_u, VN[K - 1]),)
-
         pq = jax.lax.dynamic_slice_in_dim(peq, blk, K, axis=0)
         bb = jax.lax.dynamic_slice_in_dim(b2T, blk * WB, WB, axis=0)
 
@@ -531,6 +524,28 @@ def myers_rev_core(peq, b2T, row_off, la, lb, W: int):
             col_step, (VP, VN, s_top),
             (bb, jnp.arange(WB, dtype=jnp.int32)),
         )
+
+        # --- uniform shift at block END (shift of block blk+1 hoisted here;
+        # per-pair gated so each band freezes at its own lb).  The
+        # shift-at-start form needed a `(blk > 0) &` conjunct whose first
+        # iteration XLA-TPU MISCOMPILED (evaluated true at blk == 0, adding
+        # a spurious d_top: uniform +32 cost on every pair, TPU only —
+        # interpret mode and CPU were bit-exact).  Shift-at-end expresses
+        # the same schedule with no first-iteration special case.  At the
+        # final block the gate is (NB*WB < lb) = (J < lb) = False, matching
+        # the original's no-shift-after-last-block.
+        act_s = (blk + 1) * WB < lb
+        d_top = (
+            jax.lax.population_count(VP[0]).astype(jnp.int32)
+            - jax.lax.population_count(VN[0]).astype(jnp.int32)
+        )
+        s_top = jnp.where(act_s, s_top + d_top, s_top)
+        VP = tuple(
+            jnp.where(act_s, VP[k + 1], VP[k]) for k in range(K - 1)
+        ) + (jnp.where(act_s, all1_u, VP[K - 1]),)
+        VN = tuple(
+            jnp.where(act_s, VN[k + 1], VN[k]) for k in range(K - 1)
+        ) + (jnp.where(act_s, zero_u, VN[K - 1]),)
         return VP, VN, s_top
 
     VP, VN, s_top = jax.lax.fori_loop(0, NB, block_body, (VP0, VN0, s_top0))
