@@ -33,11 +33,25 @@ class SuperBubble:
 
 
 def _adjacency(g: UnitigGraph):
+    """Successor/predecessor lists, cached per graph instance.
+
+    Graph passes produce NEW UnitigGraph instances (dataclasses.replace) —
+    src/dst are never mutated in place — so the cache cannot go stale.
+    Without it, per-bubble callers (enumerate_paths) rebuilt the WHOLE
+    graph's adjacency for every bubble: O(edges x bubbles), the dominant
+    cost of phasing 1000-chain graphs."""
+    cached = getattr(g, "_adj_cache", None)
+    if cached is not None:
+        return cached
     succ: dict[int, list[int]] = {}
     pred: dict[int, list[int]] = {}
     for s, d in zip(g.src.tolist(), g.dst.tolist()):
         succ.setdefault(int(s), []).append(int(d))
         pred.setdefault(int(d), []).append(int(s))
+    try:
+        object.__setattr__(g, "_adj_cache", (succ, pred))
+    except Exception:  # frozen/slotted variants: just skip caching
+        pass
     return succ, pred
 
 

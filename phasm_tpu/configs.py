@@ -125,9 +125,16 @@ def ladder() -> list[LadderConfig]:
 
 
 def run_rung(cfg: LadderConfig, backend: str | None = None) -> dict:
-    """Execute one ladder rung end to end; returns the stats dict."""
+    """Execute one ladder rung end to end; returns the stats dict.
+
+    Besides topology counts and stage wall times, every rung line carries
+    the accuracy columns from phasm_tpu.eval (k-mer identity/completeness
+    vs the simulated truth, allele purity at het sites for ploidy >= 2) —
+    VERDICT r3 weak #6: the parity artifact must record quality.
+    """
     import time
 
+    from phasm_tpu.eval import evaluate_assembly
     from phasm_tpu.overlap import overlap_reads
     from phasm_tpu.pipeline import assemble
     from phasm_tpu.sim import simulate_reads
@@ -142,11 +149,27 @@ def run_rung(cfg: LadderConfig, backend: str | None = None) -> dict:
     t2 = time.time()
     res = assemble(rs, table, cfg.pipeline)
     t3 = time.time()
+    qc = evaluate_assembly(res, truth)
+    t4 = time.time()
     out = dict(res.stats)
     out.update(
         name=cfg.name,
+        backend=backend or ov.backend,
         sim_s=round(t1 - t0, 1),
         overlap_s=round(t2 - t1, 1),
         assemble_s=round(t3 - t2, 1),
+        eval_s=round(t4 - t3, 1),
+        qc_kmer_identity=qc["kmer_identity"]["weighted_mean"],
+        qc_kmer_identity_min=qc["kmer_identity"]["min"],
+        qc_completeness=qc["completeness"],
+        qc_allele_purity=(
+            qc["allele_purity"] and qc["allele_purity"]["min"]
+        ),
+        qc_allele_purity_mean=(
+            qc["allele_purity"] and qc["allele_purity"]["mean"]
+        ),
+        qc_purity_haplotigs_measured=(
+            qc["allele_purity"] and qc["allele_purity"]["n_measured"]
+        ),
     )
     return out

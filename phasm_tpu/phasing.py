@@ -64,6 +64,17 @@ class PhaseConfig:
     max_extensions: int = 4096  # cap on |paths|^k before CWR fallback
     margin_abs: float = 0.002  # evidence: absolute error-rate margin
     margin_rel: float = 0.25  # evidence: relative error-rate margin
+    # phase-gap linkage corroboration: a gap between bubbles is linked only
+    # when >= this many DISTINCT reads constrain bubbles on both sides.  A
+    # single constraining read is below the noise floor: a background-only
+    # read spanning the inter-bubble anchor can land in one bubble's arm
+    # tail by assembly and "constrain" the other via a noisy background
+    # alignment whose error clears the margin by chance (measured on the c1
+    # ladder rung: exactly one such read welded two 10-kb-separated bubbles
+    # into a 0.51-purity chimera).  Same >= 2 corroboration rule as
+    # refine_assignment_by_window_excess.  The reference joins chains
+    # unconditionally (no phase-block machinery at all).
+    min_link_reads: int = 2
 
 
 @dataclasses.dataclass
@@ -242,96 +253,118 @@ def _bucket(n: int, step: int = 16) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
-def phase_chain(
-    ug: UnitigGraph,
-    reads: ReadSet,
-    aln: AlignmentTable,
-    chain: BubbleChain,
-    cfg: PhaseConfig | None = None,
-    touch: dict[int, dict[int, float]] | None = None,
-) -> ChainPhaseResult:
-    """Run the branch-score-prune DP over one bubble chain."""
-    cfg = cfg or PhaseConfig()
-    k = cfg.ploidy
-    if touch is None:
-        touch = read_touch_errs(ug, reads.n_reads, aln)
+class _ChainDP:
+    """Resumable branch-score-prune state for ONE chain.
 
-    # per-bubble interiors / paths as canonical pairs
-    bubbles = chain.bubbles
-    n_b = len(bubbles)
-    paths_per_bubble: list[list[tuple[int, ...]]] = []
-    pairsets: list[list[frozenset[int]]] = []  # per bubble, per path: pair set
-    interiors: list[set[int]] = []
-    for b in bubbles:
-        paths = enumerate_paths(ug, b, max_paths=cfg.max_paths)
-        if not paths:
-            paths = [()]
-        paths_per_bubble.append(paths)
-        pairsets.append([frozenset(canonical_pair(ug, u) for u in p) for p in paths])
-        interiors.append({canonical_pair(ug, u) for u in b.interior})
+    The per-bubble step is split into ``prep`` (everything before the jitted
+    scorer: evidence matrices, padded tensors) and ``apply`` (prune + state
+    update from the scorer's output), so a driver can either run one chain
+    sequentially (``phase_chain``) or advance MANY chains in lockstep with
+    the scorer vmapped over same-shape buckets (``phase_all`` — the
+    "independent per chain -> embarrassingly parallel" axis of
+    phasm/phasing.py :: BubbleChainPhaser, SURVEY.md §4.3).  Both drivers
+    produce bit-identical results (tested)."""
 
-    # read spans: first/last bubble index each read touches
-    first_b = {}
-    last_b = {}
-    for r, ts in touch.items():
-        for i, ip in enumerate(interiors):
-            if ts.keys() & ip:
-                if r not in first_b:
-                    first_b[r] = i
-                last_b[r] = i
+    def __init__(self, ug, reads, aln, chain, cfg, touch):
+        self.ug, self.reads, self.chain, self.cfg = ug, reads, chain, cfg
+        self.touch = touch
+        k = cfg.ploidy
+        bubbles = chain.bubbles
+        self.n_b = len(bubbles)
+        self.paths_per_bubble: list[list[tuple[int, ...]]] = []
+        self.pairsets: list[list[frozenset[int]]] = []
+        self.interiors: list[set[int]] = []
+        for b in bubbles:
+            paths = enumerate_paths(ug, b, max_paths=cfg.max_paths)
+            if not paths:
+                paths = [()]
+            self.paths_per_bubble.append(paths)
+            self.pairsets.append(
+                [frozenset(canonical_pair(ug, u) for u in p) for p in paths]
+            )
+            self.interiors.append(
+                {canonical_pair(ug, u) for u in b.interior}
+            )
 
-    # DP state
-    candidates: list[tuple[tuple[int, ...], ...]] = [tuple(() for _ in range(k))]
-    scores = np.zeros(1, dtype=np.float64)
-    active_reads: list[int] = []
-    B = np.ones((1, 0, k), dtype=bool)
-    acted: dict[int, list[int]] = {}  # read -> bubbles where it constrained
+        # read spans: first/last bubble index each read touches
+        self.first_b: dict[int, int] = {}
+        self.last_b: dict[int, int] = {}
+        for r, ts in touch.items():
+            for i, ip in enumerate(self.interiors):
+                if ts.keys() & ip:
+                    if r not in self.first_b:
+                        self.first_b[r] = i
+                    self.last_b[r] = i
 
-    score_step = _get_jit_score()
+        # DP state
+        self.candidates: list[tuple[tuple[int, ...], ...]] = [
+            tuple(() for _ in range(k))
+        ]
+        self.scores = np.zeros(1, dtype=np.float64)
+        self.active_reads: list[int] = []
+        self.B = np.ones((1, 0, k), dtype=bool)
+        self.acted: dict[int, list[int]] = {}  # read -> constrained bubbles
 
-    for i, b in enumerate(bubbles):
-        paths = paths_per_bubble[i]
+    def prep(self, i: int):
+        """Build bubble i's padded scorer inputs.  Returns (args, meta):
+        args feed score_step (vmappable), meta carries the unpadded shapes
+        and per-step arrays ``apply`` needs."""
+        cfg = self.cfg
+        k = cfg.ploidy
+        paths = self.paths_per_bubble[i]
         P = len(paths)
         # activate new reads
-        entering = sorted(r for r, fb in first_b.items() if fb == i)
+        entering = sorted(r for r, fb in self.first_b.items() if fb == i)
         if entering:
-            B = np.concatenate(
-                [B, np.ones((B.shape[0], len(entering), k), dtype=bool)], axis=1
+            self.B = np.concatenate(
+                [
+                    self.B,
+                    np.ones((self.B.shape[0], len(entering), k), dtype=bool),
+                ],
+                axis=1,
             )
-            active_reads = active_reads + entering
+            self.active_reads = self.active_reads + entering
 
-        R = len(active_reads)
+        R = len(self.active_reads)
         # M[r, p]: read consistent with path p at this bubble
         M = np.zeros((R, P), dtype=bool)
         act = np.zeros(R, dtype=bool)
-        for ri, r in enumerate(active_reads):
-            rel = {u: e for u, e in touch[r].items() if u in interiors[i]}
+        for ri, r in enumerate(self.active_reads):
+            rel = {
+                u: e for u, e in self.touch[r].items()
+                if u in self.interiors[i]
+            }
             if not rel:
                 M[ri, :] = True  # no constraint at this bubble
                 continue
             act[ri] = True
-            row = consistent_paths(rel, pairsets[i], cfg.margin_abs, cfg.margin_rel)
+            row = consistent_paths(
+                rel, self.pairsets[i], cfg.margin_abs, cfg.margin_rel
+            )
             M[ri, :] = row
             # linkage bookkeeping: only a read that ELIMINATES >= 1 path
             # imposes a real constraint.  A read whose touches sit in the
-            # identical inter-hotspot background aligns equally well to every
-            # arm (row all-True) — counting it as "acting" fabricates
+            # identical inter-hotspot background aligns equally well to
+            # every arm (row all-True) — counting it as "acting" fabricates
             # cross-bubble linkage and suppresses phase breaks (the round-2
             # 36 kb diagnosis: chimeric spanning haplotigs at ~0.6 purity
             # instead of split pure phase blocks)
             if not row.all():
-                acted.setdefault(r, []).append(i)
+                self.acted.setdefault(r, []).append(i)
 
         # extensions: ordered assignments; CWR fallback when P^k too large
         if P**k <= cfg.max_extensions:
-            A = np.array(list(itertools.product(range(P), repeat=k)), dtype=np.int32)
+            A = np.array(
+                list(itertools.product(range(P), repeat=k)), dtype=np.int32
+            )
         else:
             # unordered multisets lose only the (phenotypically irrelevant)
             # haplotype labelling order — but count it, never silently
             metrics.incr("phasing.extensions_cwr_fallback")
             log.warning(
                 "bubble %d: %d^%d extensions exceed max_extensions=%d; "
-                "falling back to unordered multisets", i, P, k, cfg.max_extensions,
+                "falling back to unordered multisets",
+                i, P, k, cfg.max_extensions,
             )
             A = np.array(
                 list(itertools.combinations_with_replacement(range(P), k)),
@@ -340,26 +373,36 @@ def phase_chain(
         E = A.shape[0]
 
         # per-path read support for the coverage model
-        n_path = M[act].sum(axis=0).astype(np.float32) if R else np.zeros(P, np.float32)
+        n_path = (
+            M[act].sum(axis=0).astype(np.float32)
+            if R
+            else np.zeros(P, np.float32)
+        )
 
         # pad to buckets for jit cache friendliness
-        C = len(candidates)
-        Cp, Ep, Rp, Pp = _bucket(C), _bucket(E), _bucket(max(R, 1)), _bucket(P, 8)
-        Bp = _pad_to(_pad_to(B, Cp, 0), Rp, 1)
-        Mp_ = _pad_to(_pad_to(M, Rp, 0), Pp, 1)
-        Ap = _pad_to(A, Ep, 0)
-        sp = _pad_to(scores.astype(np.float32), Cp, 0)
-        actp = _pad_to(act, Rp, 0)
-        cmask = _pad_to(np.ones(C, dtype=bool), Cp, 0)
-        emask = _pad_to(np.ones(E, dtype=bool), Ep, 0)
-        npth = _pad_to(n_path, Pp, 0)
+        C = len(self.candidates)
+        Cp, Ep, Rp, Pp = (
+            _bucket(C), _bucket(E), _bucket(max(R, 1)), _bucket(P, 8),
+        )
+        args = (
+            _pad_to(_pad_to(self.B, Cp, 0), Rp, 1),
+            _pad_to(_pad_to(M, Rp, 0), Pp, 1),
+            _pad_to(A, Ep, 0),
+            _pad_to(self.scores.astype(np.float32), Cp, 0),
+            _pad_to(act, Rp, 0),
+            _pad_to(np.ones(C, dtype=bool), Cp, 0),
+            _pad_to(np.ones(E, dtype=bool), Ep, 0),
+            _pad_to(n_path, Pp, 0),
+        )
+        meta = (i, C, E, R, A, M)
+        return args, meta
 
-        total = np.asarray(
-            score_step(
-                Bp, Mp_, Ap, sp, actp, cmask, emask,
-                np.float32(cfg.err), np.float32(cfg.coverage_weight), npth,
-            )
-        )[:C, :E].astype(np.float64)
+    def apply(self, meta, total: np.ndarray) -> None:
+        """Prune + state update from the scorer output (unpadded [C, E])."""
+        cfg = self.cfg
+        k = cfg.ploidy
+        i, C, E, R, A, M = meta
+        total = total.astype(np.float64)
 
         # prune: threshold + top-K, deterministic
         best = total.max()
@@ -390,12 +433,12 @@ def phase_chain(
         for out_i, j in enumerate(keep):
             c, e = divmod(j, E)
             hist = tuple(
-                candidates[c][m] + (int(A[e, m]),) for m in range(k)
+                self.candidates[c][m] + (int(A[e, m]),) for m in range(k)
             )
             new_candidates.append(hist)
             new_scores[out_i] = flat[j]
             for m in range(k):
-                new_B[out_i, :, m] = B[c, :, m] & M[:, A[e, m]]
+                new_B[out_i, :, m] = self.B[c, :, m] & M[:, A[e, m]]
         # dedup candidates whose sorted haplotype histories coincide
         keep_idx = []
         for idx, hist in enumerate(new_candidates):
@@ -403,82 +446,130 @@ def phase_chain(
             if key not in seen_canon:
                 seen_canon[key] = idx
                 keep_idx.append(idx)
-        candidates = [new_candidates[j] for j in keep_idx]
-        scores = new_scores[keep_idx]
-        B = new_B[keep_idx]
+        self.candidates = [new_candidates[j] for j in keep_idx]
+        self.scores = new_scores[keep_idx]
+        self.B = new_B[keep_idx]
 
         # retire reads whose span ended
         if R:
-            stay = np.array([last_b.get(r, -1) > i for r in active_reads], dtype=bool)
-            B = B[:, stay, :]
-            active_reads = [r for r, s in zip(active_reads, stay) if s]
+            stay = np.array(
+                [self.last_b.get(r, -1) > i for r in self.active_reads],
+                dtype=bool,
+            )
+            self.B = self.B[:, stay, :]
+            self.active_reads = [
+                r for r, s in zip(self.active_reads, stay) if s
+            ]
 
-    # best candidate (scores sorted desc already by construction of keep)
-    best_i = int(np.argmax(scores))
-    best_hist = candidates[best_i]
+    def finish(self) -> ChainPhaseResult:
+        cfg = self.cfg
+        k = cfg.ploidy
+        ug, reads, bubbles = self.ug, self.reads, self.chain.bubbles
+        best_i = int(np.argmax(self.scores))
+        best_hist = self.candidates[best_i]
 
-    # build walks incl. anchors and spell haplotigs
-    elen_lookup = {
-        (int(s), int(d)): int(e) for s, d, e in zip(ug.src, ug.dst, ug.elen)
-    }
+        # build walks incl. anchors and spell haplotigs
+        elen_lookup = {
+            (int(s), int(d)): int(e)
+            for s, d, e in zip(ug.src, ug.dst, ug.elen)
+        }
 
-    def walk_for(hap: tuple[tuple[int, ...], ...]) -> list[int]:
-        nodes = [bubbles[0].entrance]
-        for i, b in enumerate(bubbles):
-            nodes.extend(paths_per_bubble[i][hap[i]])
-            nodes.append(b.exit)
-        return nodes
+        def walk_for(hap: tuple[tuple[int, ...], ...]) -> list[int]:
+            nodes = [bubbles[0].entrance]
+            for i, b in enumerate(bubbles):
+                nodes.extend(self.paths_per_bubble[i][hap[i]])
+                nodes.append(b.exit)
+            return nodes
 
-    hap_paths = []
-    haplotigs = []
-    for m in range(k):
-        nodes = walk_for(best_hist[m])
-        hap_paths.append(nodes)
-        elens = [elen_lookup[(nodes[j], nodes[j + 1])] for j in range(len(nodes) - 1)]
-        haplotigs.append(ug.spell_path(nodes, elens, reads))
-
-    # read assignment from best candidate's remaining+retired consistency:
-    # recompute per read over its span
-    assignment: dict[int, list[int]] = {}
-    for r, fb in first_b.items():
-        lb = last_b[r]
-        cons = []
+        hap_paths = []
+        haplotigs = []
         for m in range(k):
-            ok = True
-            for i in range(fb, lb + 1):
-                rel = {u: e for u, e in touch[r].items() if u in interiors[i]}
-                if rel:
-                    mrow = consistent_paths(
-                        rel, pairsets[i], cfg.margin_abs, cfg.margin_rel
-                    )
-                    if not mrow[best_hist[m][i]]:
-                        ok = False
-                        break
-            if ok:
-                cons.append(m)
-        assignment[r] = cons
+            nodes = walk_for(best_hist[m])
+            hap_paths.append(nodes)
+            elens = [
+                elen_lookup[(nodes[j], nodes[j + 1])]
+                for j in range(len(nodes) - 1)
+            ]
+            haplotigs.append(ug.spell_path(nodes, elens, reads))
 
-    # phase breaks: gap before bubble i is linked iff some read constrains a
-    # bubble <= i-1 AND a bubble >= i (transitive spans count)
-    phase_breaks = []
-    for i in range(1, n_b):
-        linked = any(
-            bs[0] <= i - 1 and bs[-1] >= i for bs in acted.values() if bs
+        # read assignment from best candidate's remaining+retired
+        # consistency: recompute per read over its span
+        assignment: dict[int, list[int]] = {}
+        for r, fb in self.first_b.items():
+            lb = self.last_b[r]
+            cons = []
+            for m in range(k):
+                ok = True
+                for i in range(fb, lb + 1):
+                    rel = {
+                        u: e for u, e in self.touch[r].items()
+                        if u in self.interiors[i]
+                    }
+                    if rel:
+                        mrow = consistent_paths(
+                            rel, self.pairsets[i],
+                            cfg.margin_abs, cfg.margin_rel,
+                        )
+                        if not mrow[best_hist[m][i]]:
+                            ok = False
+                            break
+                if ok:
+                    cons.append(m)
+            assignment[r] = cons
+
+        # phase breaks: gap before bubble i is linked iff >= min_link_reads
+        # DISTINCT reads each constrain a bubble <= i-1 AND a bubble >= i
+        # (transitive spans count; see PhaseConfig.min_link_reads for why a
+        # single read is not evidence)
+        phase_breaks = []
+        for i in range(1, self.n_b):
+            n_link = sum(
+                1 for bs in self.acted.values()
+                if bs and bs[0] <= i - 1 and bs[-1] >= i
+            )
+            if n_link < cfg.min_link_reads:
+                phase_breaks.append(i)
+                metrics.incr("phasing.phase_breaks")
+
+        return ChainPhaseResult(
+            chain=self.chain,
+            haplotype_paths=hap_paths,
+            haplotype_choices=list(best_hist),
+            haplotigs=haplotigs,
+            score=float(self.scores[best_i]),
+            n_candidates_final=len(self.candidates),
+            read_assignment=assignment,
+            phase_breaks=phase_breaks,
         )
-        if not linked:
-            phase_breaks.append(i)
-            metrics.incr("phasing.phase_breaks")
 
-    return ChainPhaseResult(
-        chain=chain,
-        haplotype_paths=hap_paths,
-        haplotype_choices=list(best_hist),
-        haplotigs=haplotigs,
-        score=float(scores[best_i]),
-        n_candidates_final=len(candidates),
-        read_assignment=assignment,
-        phase_breaks=phase_breaks,
-    )
+
+def phase_chain(
+    ug: UnitigGraph,
+    reads: ReadSet,
+    aln: AlignmentTable,
+    chain: BubbleChain,
+    cfg: PhaseConfig | None = None,
+    touch: dict[int, dict[int, float]] | None = None,
+) -> ChainPhaseResult:
+    """Run the branch-score-prune DP over one bubble chain (sequential)."""
+    cfg = cfg or PhaseConfig()
+    if touch is None:
+        touch = read_touch_errs(ug, reads.n_reads, aln)
+    dp = _ChainDP(ug, reads, aln, chain, cfg, touch)
+    score_step = _get_jit_score()
+    for i in range(dp.n_b):
+        metrics.incr("phasing.score_dispatches")
+        args, meta = dp.prep(i)
+        C, E = meta[1], meta[2]
+        total = np.asarray(
+            score_step(
+                *args[:7],
+                np.float32(cfg.err), np.float32(cfg.coverage_weight),
+                args[7],
+            )
+        )[:C, :E]
+        dp.apply(meta, total)
+    return dp.finish()
 
 
 def refine_assignment_by_window_excess(
@@ -546,14 +637,110 @@ def refine_assignment_by_window_excess(
     return assignment
 
 
+_jit_score_v = None
+
+
+def _get_jit_score_v():
+    """vmapped scorer: one device dispatch scores a whole BUCKET of chains
+    whose padded step shapes coincide.  err/beta broadcast (same config for
+    every chain)."""
+    global _jit_score_v
+    if _jit_score_v is None:
+        import jax
+
+        base = _get_jit_score()
+        _jit_score_v = jax.jit(
+            jax.vmap(
+                base,
+                in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, 0),
+            )
+        )
+    return _jit_score_v
+
+
 def phase_all(
     ug: UnitigGraph,
     reads: ReadSet,
     aln: AlignmentTable,
     chains: list[BubbleChain],
     cfg: PhaseConfig | None = None,
+    batch: bool = True,
 ) -> list[ChainPhaseResult]:
-    """Phase every chain (independent -> embarrassingly parallel later)."""
+    """Phase every chain.
+
+    Chains are independent (phasm/phasing.py runs them as a sequential
+    Python loop; SURVEY.md §4.3 "independent per chain -> embarrassingly
+    parallel in rebuild").  With ``batch=True`` (default) all chains advance
+    in LOCKSTEP: at step t, every chain with a t-th bubble preps its scorer
+    inputs, chains whose padded shapes coincide are stacked and scored in
+    ONE vmapped device dispatch, then each chain prunes host-side.  At
+    ~1000 small chains this collapses ~1000 per-bubble dispatches into a
+    handful of bucket dispatches per step (dispatch overhead dominates tiny
+    scorer calls, ~5 ms/call through the TPU tunnel).  Results are
+    bit-identical to the sequential driver (tested: vmap batches the same
+    lanewise ops; reductions keep their axis order)."""
     cfg = cfg or PhaseConfig()
     touch = read_touch_errs(ug, reads.n_reads, aln)
-    return [phase_chain(ug, reads, aln, c, cfg, touch=touch) for c in chains]
+
+    # restrict each chain to the reads that touch ITS interiors: _ChainDP's
+    # span scan is O(|touch| x n_bubbles), so handing every chain the full
+    # read set is quadratic in chain count (measured: the dominant cost at
+    # 1000 chains).  Restriction is behavior-preserving — a read with no
+    # interior touch never enters first_b, and every consumer of touch[r]
+    # keys off first_b membership.
+    pair2chains: dict[int, set[int]] = {}
+    for ci, c in enumerate(chains):
+        for b in c.bubbles:
+            for u in b.interior:
+                pair2chains.setdefault(
+                    canonical_pair(ug, u), set()
+                ).add(ci)
+    touch_sub: list[dict] = [{} for _ in chains]
+    for r, ts in touch.items():
+        cis: set[int] = set()
+        for u in ts:
+            cis |= pair2chains.get(u, set())
+        for ci in cis:
+            touch_sub[ci][r] = ts
+
+    if not batch or len(chains) <= 1:
+        return [
+            phase_chain(ug, reads, aln, c, cfg, touch=touch_sub[ci])
+            for ci, c in enumerate(chains)
+        ]
+
+    dps = [
+        _ChainDP(ug, reads, aln, c, cfg, touch_sub[ci])
+        for ci, c in enumerate(chains)
+    ]
+    score_v = _get_jit_score_v()
+    errf = np.float32(cfg.err)
+    betaf = np.float32(cfg.coverage_weight)
+    max_steps = max(dp.n_b for dp in dps)
+    for t in range(max_steps):
+        live = [dp for dp in dps if t < dp.n_b]
+        preps = [(dp, *dp.prep(t)) for dp in live]
+        buckets: dict[tuple, list] = {}
+        for dp, args, meta in preps:
+            key = tuple(a.shape for a in args)
+            buckets.setdefault(key, []).append((dp, args, meta))
+        for group in buckets.values():
+            metrics.incr("phasing.score_dispatches")
+            if len(group) == 1:
+                dp, args, meta = group[0]
+                total = np.asarray(
+                    _get_jit_score()(
+                        *args[:7], errf, betaf, args[7]
+                    )
+                )[: meta[1], : meta[2]]
+                dp.apply(meta, total)
+                continue
+            stacked = [
+                np.stack([g[1][j] for g in group]) for j in range(8)
+            ]
+            totals = np.asarray(
+                score_v(*stacked[:7], errf, betaf, stacked[7])
+            )
+            for gi, (dp, _args, meta) in enumerate(group):
+                dp.apply(meta, totals[gi, : meta[1], : meta[2]])
+    return [dp.finish() for dp in dps]
