@@ -35,10 +35,12 @@ from phasm_tpu.overlap.myers import (
     rev_K,
 )
 
-BLK_ROWS = 8  # pair-block = 8 sublanes x 128 lanes = 1024 pairs
+BLK_ROWS = 8  # minimum pair-block rows (8 sublanes x 128 lanes = 1024 pairs)
+VMEM_BUDGET = 14 << 20  # scoped-VMEM budget for kernel streams (v5e: 16 MB
+# scoped limit minus headroom for outputs and the compiler's own stack)
 
 
-def kernel_vmem_bytes(W: int, J: int) -> int:
+def kernel_vmem_bytes(W: int, J: int, R: int | None = None) -> int:
     """Scoped-VMEM footprint estimate for the worse of the fwd/rev kernels.
 
     Each grid step streams the peq [NBLK, 4, 8, 128] u32 and bpk
@@ -47,9 +49,23 @@ def kernel_vmem_bytes(W: int, J: int) -> int:
     DeviceExtender to route (W, J) combos that exceed the scoped limit to
     the segmented W-band kernels instead (a J=12288 rung OOM'd at 18.2 MB
     vs the 16 MB scoped limit on v5e — LADDER r3 c3)."""
-    tile = BLK_ROWS * 128 * 4
+    if R is None:
+        R = blk_rows(W, J)
+    tile = R * 128 * 4
     nblk = J // WB + rev_K(W)  # rev_K > K_of: the rev kernel dominates
     return 2 * (nblk * 4 + J // 16) * tile
+
+
+def blk_rows(W: int, J: int) -> int:
+    """Pair-block rows per grid step: 16 when the streams fit scoped VMEM.
+
+    The Myers word-step is one long DEPENDENT bitwise chain; with 8 rows
+    (one (8, 128) tile per vector op) the VPU stalls on op latency.  At 16
+    rows every op covers two tiles, so the hardware pipelines consecutive
+    tiles through the same instruction and the dependent chains overlap —
+    measured 1.54x kernel-only on the driver workload (8.3 -> 5.4 ms per
+    16k-pair batch, round 4).  32 rows measured no better than 16."""
+    return 16 if kernel_vmem_bytes(W, J, 16) <= VMEM_BUDGET else 8
 
 
 def _popcount32(v):
@@ -110,7 +126,8 @@ def _band_min_scan(VP, VN, s_top, base_rel, lo, hi, K: int):
     return bm
 
 
-def _make_myers_fwd(W: int, J: int, interpret: bool = False):
+def _make_myers_fwd(W: int, J: int, interpret: bool = False,
+                    R: int = BLK_ROWS):
     """Forward kernel factory.  Returns run(la_rel2, la2, lb2, peq, bpk)
     -> (cost2, iend_rel2, jend2, win2), all [B/128, 128] int32."""
     import jax
@@ -125,7 +142,6 @@ def _make_myers_fwd(W: int, J: int, interpret: bool = False):
     NBLK = NB + K
     JW = J // 16
     assert J % WB == 0 and J % (WINDOW // 2) == 0
-    R = BLK_ROWS
 
     def kernel(la_rel_ref, la_ref, lb_ref, d0_ref, peq_ref, bpk_ref,
                cost_ref, iend_ref, jend_ref, win_ref):
@@ -346,7 +362,8 @@ def _make_myers_fwd(W: int, J: int, interpret: bool = False):
     return run
 
 
-def _make_myers_rev(W: int, J: int, interpret: bool = False):
+def _make_myers_rev(W: int, J: int, interpret: bool = False,
+                    R: int = BLK_ROWS):
     """Reverse (anchored-end start recovery) kernel factory.  Returns
     run(row_off2, la2, lb2, peq_r, bpk_r) -> (cost2, best_row2) int32."""
     import jax
@@ -358,7 +375,6 @@ def _make_myers_rev(W: int, J: int, interpret: bool = False):
     NB = J // WB
     NBLK = NB + K
     JW = J // 16
-    R = BLK_ROWS
 
     def kernel(row_off_ref, la_ref, lb_ref, peq_ref, bpk_ref,
                cost_ref, row_ref):
@@ -517,17 +533,26 @@ def myers_pallas_pair_core(
     a_rows, b_rows, la, lb, d0, W: int, J: int, interpret: bool = False
 ):
     """Drop-in replacement for myers._myers_pair_core with both cores as
-    Pallas kernels.  B must be a multiple of 1024 (extend_async pads)."""
+    Pallas kernels.  Pads B in-trace to the (W, J)-chosen pair-block."""
     import jax.numpy as jnp
 
     from phasm_tpu.overlap.extend import BIG
     from phasm_tpu.overlap.myers import _fwd_prep, _rev_prep
 
-    B = a_rows.shape[0]
-    assert B % (BLK_ROWS * 128) == 0, f"B={B} must be a multiple of 1024"
+    R = blk_rows(W, J)
+    B0 = a_rows.shape[0]
+    B = -(-B0 // (R * 128)) * (R * 128)
+    if B != B0:
+        a_rows = jnp.pad(jnp.asarray(a_rows), ((0, B - B0), (0, 0)),
+                         constant_values=4)
+        b_rows = jnp.pad(jnp.asarray(b_rows), ((0, B - B0), (0, 0)),
+                         constant_values=4)
+        la = jnp.pad(jnp.asarray(la), (0, B - B0), constant_values=1)
+        lb = jnp.pad(jnp.asarray(lb), (0, B - B0))
+        d0 = jnp.pad(jnp.asarray(d0), (0, B - B0))
 
     peq_f, b2T, la_rel, m0 = _fwd_prep(a_rows, b_rows, la, lb, d0, W, J)
-    fwd = _get_fwd(W, J, interpret)
+    fwd = _get_fwd(W, J, interpret, R)
     cost_f, iend_rel, jend, win = [
         x.reshape(B)
         for x in fwd(
@@ -539,7 +564,7 @@ def myers_pallas_pair_core(
     peq_r, b2T_r, row_off = _rev_prep(
         a_rows, b_rows, la, lb, iend, jend, d0, W, J
     )
-    rev = _get_rev(W, J, interpret)
+    rev = _get_rev(W, J, interpret, R)
     cost_r, best_row = [
         x.reshape(B)
         for x in rev(
@@ -552,11 +577,11 @@ def myers_pallas_pair_core(
     i0 = jnp.where(jend == 0, iend, i0)
     valid = cost_f < MBIG
     return (
-        jnp.where(valid, cost_r, jnp.int32(BIG)),
-        jnp.where(valid, i0, 0),
-        jnp.where(valid, iend, 0),
-        jnp.where(valid, jend, 0),
-        jnp.where(valid, win, 0),
+        jnp.where(valid, cost_r, jnp.int32(BIG))[:B0],
+        jnp.where(valid, i0, 0)[:B0],
+        jnp.where(valid, iend, 0)[:B0],
+        jnp.where(valid, jend, 0)[:B0],
+        jnp.where(valid, win, 0)[:B0],
     )
 
 
@@ -564,17 +589,21 @@ _FWD: dict = {}
 _REV: dict = {}
 
 
-def _get_fwd(W: int, J: int, interpret: bool):
-    key = (W, J, interpret)
+def _get_fwd(W: int, J: int, interpret: bool, R: int | None = None):
+    if R is None:
+        R = blk_rows(W, J)
+    key = (W, J, interpret, R)
     if key not in _FWD:
-        _FWD[key] = _make_myers_fwd(W, J, interpret)
+        _FWD[key] = _make_myers_fwd(W, J, interpret, R)
     return _FWD[key]
 
 
-def _get_rev(W: int, J: int, interpret: bool):
-    key = (W, J, interpret)
+def _get_rev(W: int, J: int, interpret: bool, R: int | None = None):
+    if R is None:
+        R = blk_rows(W, J)
+    key = (W, J, interpret, R)
     if key not in _REV:
-        _REV[key] = _make_myers_rev(W, J, interpret)
+        _REV[key] = _make_myers_rev(W, J, interpret, R)
     return _REV[key]
 
 
@@ -609,10 +638,11 @@ def myers_pallas_compute_tab(
     from phasm_tpu.overlap.extend import BIG
     from phasm_tpu.overlap.myers import fwd_prep_tab, rev_prep_tab
 
+    R = blk_rows(W, J)
     B0 = a_oid.shape[0]
-    # mesh shards can fall below the 1024-pair kernel block: pad in-trace
-    # with benign oid-0 pairs, slice the outputs back
-    B = -(-B0 // (BLK_ROWS * 128)) * (BLK_ROWS * 128)
+    # mesh shards can fall below the pair-block size: pad in-trace with
+    # benign oid-0 pairs, slice the outputs back
+    B = -(-B0 // (R * 128)) * (R * 128)
     if B != B0:
         a_oid = jnp.pad(a_oid, (0, B - B0))
         b_oid = jnp.pad(b_oid, (0, B - B0))
@@ -623,7 +653,7 @@ def myers_pallas_compute_tab(
     bpkT = jnp.transpose(bpk_tab[b_oid], (2, 1, 0))  # [BW, 2, B]
 
     peq_f, bpk_f, la_rel, m0 = fwd_prep_tab(peqT, bpkT, la, d0, W, J)
-    fwd = _get_fwd(W, J, interpret)
+    fwd = _get_fwd(W, J, interpret, R)
     cost_f, iend_rel, jend, win = [
         x.reshape(B)
         for x in fwd(
@@ -635,7 +665,7 @@ def myers_pallas_compute_tab(
     peq_r, bpk_r, row_off = rev_prep_tab(
         peqT, bpkT, LA, iend, jend, d0, W, J
     )
-    rev = _get_rev(W, J, interpret)
+    rev = _get_rev(W, J, interpret, R)
     cost_r, best_row = [
         x.reshape(B)
         for x in rev(_q(row_off), _q(iend), _q(jend), _q(peq_r), _q(bpk_r))
