@@ -738,6 +738,7 @@ class DeviceExtender:
             self._lengths = jax.device_put(lengths.astype(np.int32))
         self._runs: dict = {}
         self._tables = None  # lazy myers window tables (build_myers_tables)
+        self._tables2 = None  # lazy blocked tables (tab2 fast path)
         # wide escalation rungs under the myers backends fall back to the
         # W-band kernel family (pallas seg / dp_core) — see MYERS_MAX_BAND
         self._use_pallas = (
@@ -773,11 +774,25 @@ class DeviceExtender:
         )
 
     def _is_tab_run(self, band: int | None, jmax: int) -> bool:
-        """True when (backend, band, jmax) routes to the table-driven
+        """True when (backend, band, jmax) routes to a table-driven
         myers_pallas compute (argument layout differs — no oriented matrix,
-        tables instead); must match the branch in _get_run."""
+        tables instead); must match the branches in _get_run."""
         W = self.band if band is None else band
         return self.backend == "myers_pallas" and self._myers_fits(W, jmax)
+
+    def _is_tab2_run(self, band: int | None, jmax: int) -> bool:
+        """Fastest tier: blocked tables + in-kernel residual barrel
+        (myers_pallas_compute_tab2).  LA-independent VMEM, but the slabs
+        bound J; larger J falls back to the round-3 XLA-barrel tab path,
+        and beyond that to the segmented W-band kernels."""
+        from phasm_tpu.overlap.myers_pallas import tab2_fits
+
+        W = self.band if band is None else band
+        return (
+            self.backend == "myers_pallas"
+            and W <= self.MYERS_MAX_BAND
+            and tab2_fits(W, jmax)
+        )
 
     def _get_run(self, jmax: int, block_b: int = 128, band: int | None = None):
         W = self.band if band is None else band
@@ -813,6 +828,26 @@ class DeviceExtender:
             self._runs[key] = run
             _GLOBAL_RUNS[gkey] = run
             return run
+        if self._is_tab2_run(W, jmax):
+            from functools import partial
+
+            from phasm_tpu.overlap.myers_pallas import (
+                myers_pallas_compute_tab2,
+            )
+
+            core2 = partial(
+                myers_pallas_compute_tab2,
+                LA=int(self._oriented.shape[1]), W=W, J=jmax,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+            def compute_tab2(lengths, win, a_oid, b_oid, d0):
+                return core2(win, lengths, a_oid, b_oid, d0)
+
+            run = self._wrap_run(compute_tab2, n_rep=2)
+            self._runs[key] = run
+            _GLOBAL_RUNS[gkey] = run
+            return run
         if self._is_tab_run(W, jmax):
             from functools import partial
 
@@ -827,7 +862,7 @@ class DeviceExtender:
             def compute_tab(lengths, peq, bpk, a_oid, b_oid, d0):
                 return core(peq, bpk, lengths, a_oid, b_oid, d0)
 
-            run = self._wrap_run(compute_tab, tab=True)
+            run = self._wrap_run(compute_tab, n_rep=3)
             self._runs[key] = run
             _GLOBAL_RUNS[gkey] = run
             return run
@@ -923,16 +958,24 @@ class DeviceExtender:
         _GLOBAL_RUNS[gkey] = run
         return run
 
-    def _wrap_run(self, compute, tab: bool = False):
+    def _wrap_run(self, compute, n_rep: int = 2):
         """jit a (*replicated_leading, a_oid, b_oid, d0) -> 5-tuple compute,
         data-parallel over the mesh's dp axis when one is configured.
         Leading args: (oriented, lengths) normally; (lengths, peq, bpk) for
-        the table-driven myers_pallas path (tab=True)."""
+        the round-3 table path (n_rep=3); (lengths, peq_f, peq_r, bpk_f,
+        bpk_r) for the blocked-table path (n_rep=5)."""
         import jax
         import jax.numpy as jnp
 
+        # the three index vectors ship as ONE stacked [3, M] array: each
+        # host->device transfer pays a tunnel round trip, and the indices
+        # are the only per-batch upload on the table paths
+        def unstacked(*args):
+            *lead, idx3 = args
+            return compute(*lead, idx3[0], idx3[1], idx3[2])
+
         if self._mesh is None:
-            return jax.jit(compute)
+            return jax.jit(unstacked)
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
@@ -942,23 +985,22 @@ class DeviceExtender:
             from jax.experimental.shard_map import shard_map  # type: ignore
 
         ax = self._axis
-        n_rep = 3 if tab else 2
 
         def local(*args):
-            c, i0, ie, je, wn = compute(*args)
+            c, i0, ie, je, wn = unstacked(*args)
             out = jnp.stack([c, i0, ie, je, wn], axis=1)  # [m, 5]
             return jax.lax.all_gather(out, ax, axis=0, tiled=True)
 
         sm = shard_map(
             local,
             mesh=self._mesh,
-            in_specs=(P(),) * n_rep + (P(ax), P(ax), P(ax)),
+            in_specs=(P(),) * n_rep + (P(None, ax),),
             out_specs=P(),
             # all_gather replicates the output; the static varying-axes
             # checker cannot infer that
             check_vma=False,
         )
-        shard = NamedSharding(self._mesh, P(ax))
+        shard = NamedSharding(self._mesh, P(None, ax))
         rep = NamedSharding(self._mesh, P())
 
         def merged(*args):
@@ -966,7 +1008,7 @@ class DeviceExtender:
             return o[:, 0], o[:, 1], o[:, 2], o[:, 3], o[:, 4]
 
         return jax.jit(
-            merged, in_shardings=(rep,) * n_rep + (shard, shard, shard)
+            merged, in_shardings=(rep,) * n_rep + (shard,)
         )
 
     def _ensure_tables(self):
@@ -1000,6 +1042,38 @@ class DeviceExtender:
         t = build(self._oriented, self._lengths)
         self._tables = (t["peq"], t["bpk"])
 
+    def _ensure_tables2(self):
+        """Blocked myers window tables (myers.build_myers_tables_blocked)
+        for the tab2 kernels — built once, device-resident, replicated on
+        the mesh when one is configured."""
+        if getattr(self, "_tables2", None) is not None:
+            return
+        import jax
+
+        from phasm_tpu.overlap.myers import build_myers_tables_blocked
+
+        if self._mesh is None:
+            key = ("myers_tables2", None)
+            if key not in _GLOBAL_RUNS:
+                _GLOBAL_RUNS[key] = jax.jit(build_myers_tables_blocked)
+            build = _GLOBAL_RUNS[key]
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            key = (
+                "myers_tables2",
+                tuple(d.id for d in self._mesh.devices.flat),
+            )
+            if key not in _GLOBAL_RUNS:
+                rep = NamedSharding(self._mesh, P())
+                _GLOBAL_RUNS[key] = jax.jit(
+                    build_myers_tables_blocked, out_shardings=rep
+                )
+            build = _GLOBAL_RUNS[key]
+        t = build(self._oriented, self._lengths)
+        self._tables2 = (t["win"],)
+
     def extend_async(
         self, a_oid: np.ndarray, b_oid: np.ndarray, d0: np.ndarray, jmax: int,
         block_b: int = 128, band: int | None = None,
@@ -1024,18 +1098,23 @@ class DeviceExtender:
             b_oid = np.pad(b_oid, (0, pad))
             d0 = np.pad(d0, (0, pad))
         run = self._get_run(jmax, block_b, band)
-        idx_args = [
+        idx3 = np.stack([
             np.asarray(a_oid, dtype=np.int32),
             np.asarray(b_oid, dtype=np.int32),
             np.asarray(d0, dtype=np.int32),
-        ]
+        ])  # one stacked transfer: 3 tunnel round trips -> 1
         if self._mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
-            sh = NamedSharding(self._mesh, P(self._axis))
-            idx_args = [_mesh_put(x, sh) for x in idx_args]
-        if self._is_tab_run(band, jmax):
+            sh = NamedSharding(self._mesh, P(None, self._axis))
+            idx_args = [_mesh_put(idx3, sh)]
+        else:
+            idx_args = [idx3]
+        if self._is_tab2_run(band, jmax):
+            self._ensure_tables2()
+            args = (self._lengths, *self._tables2, *idx_args)
+        elif self._is_tab_run(band, jmax):
             self._ensure_tables()
             args = (self._lengths, *self._tables, *idx_args)
         else:

@@ -824,6 +824,130 @@ def rev_prep_tab(peqT, bpkT, LA: int, iend, jend, d0, W: int, J: int):
     return peq_r, bpk_r, m0r * WB
 
 
+# ---------------------------------------------------------------------------
+# Blocked window tables (round 4): coarse 32-word fetch blocks + in-kernel
+# residual barrel.
+#
+# The round-3 table path still paid ~14 ms/batch of XLA prep: whole-row
+# gathers (a PW-word row per pair when only ~NBLK are consumed) and the
+# barrel/funnel networks, each a full HBM round trip.  Round 4 moves the
+# shift networks INTO the Pallas kernels (VMEM-resident selects, ~us) and
+# shrinks the gathers to per-pair COARSE BLOCKS: the table is stored as
+# 32-word blocks addressable by row index, the XLA gather fetches the
+# ceil((NBLK + 31)/32) + 1 blocks covering each pair's window (contiguous
+# 512-byte rows — the fast gather path; arbitrary-offset slices are not),
+# and the kernel barrel-shifts only the RESIDUAL offset (s % 32, 5 select
+# levels).  Unlike the in-kernel full-table design, the slab size is
+# J-dependent but LA-INDEPENDENT, so it fits VMEM for any read length.
+# ---------------------------------------------------------------------------
+
+BK = 32  # table fetch-block size (words); residual barrel = 5 levels
+
+
+BKB = 128  # packed-b fetch-row size (words); residual barrel = 7 levels
+
+
+def tab2_geometry(W: int, J: int) -> tuple[int, int, int]:
+    """(GF, GR, GB): fetch rows for the fwd peq window, rev peq window,
+    and rev packed-b window.  Span = residual + words consumed."""
+    gf = -(-(J // WB + K_of(W) + BK - 1) // BK)
+    gr = -(-(J // WB + rev_K(W) + 1 + BK - 1) // BK)
+    gb = -(-(J // 16 + 1 + BKB - 1) // BKB)
+    return gf, gr, gb
+
+
+JWMAX = 128  # widest packed-b fwd window ever routed to the myers kernels
+# (J <= 2048 under the scoped-VMEM gate; J/16 <= 128)
+
+# row-count paddings: the largest J routed to these kernels is 2048
+# (W=64) / 1024 (W=128), so GF/GR <= 4 and GB <= 2; +1 slack
+_PAD_PEQ_BLOCKS = 5
+_PAD_BPK_BLOCKS = 3
+
+
+def blocked_counts(LA: int) -> tuple[int, int]:
+    """(NBb, NBc): per-read fetch-row counts of the blocked tables."""
+    PW, BW = table_words(LA)
+    return -(-PW // BK) + _PAD_PEQ_BLOCKS, -(-BW // BKB) + _PAD_BPK_BLOCKS
+
+
+def tab2_offsets(n_o: int, LA: int) -> tuple[int, int, int]:
+    """(rev_peq, bpk_f, bpk_r) row offsets inside the combined table."""
+    NBb, NBc = blocked_counts(LA)
+    return n_o * NBb, 2 * n_o * NBb, 2 * n_o * NBb + n_o
+
+
+def build_myers_tables_blocked(oriented, lengths):
+    """Blocked window tables as ONE combined [N_rows, 128] uint32 array.
+
+    Every fetch unit is a 128-lane row (tile-exact minor dim: no XLA layout
+    padding, and ONE gather + ONE relayout per kernel serves peq AND bpk —
+    four separate gathers measured ~1.5-2 ms EACH at 16k pairs because XLA
+    row gathers are per-index bound, not byte bound).  Row spaces:
+
+      [0, n_o*NBb)            fwd peq blocks: row r*NBb + g holds words
+                              [g*BK, (g+1)*BK) of planes 0..3, WORD-MAJOR
+                              flat (lane w*4 + c = word g*BK+w, plane c) so
+                              the kernel's [G,128,R,128] slab reshapes to
+                              [G*BK, 4, R, 128] for free;
+      [.., 2*n_o*NBb)         the same over flip rows (rev windows);
+      [.., + n_o)             packed fwd b-codes, words [0, JWMAX);
+      [.., + n_o*NBc)         packed flip b-codes, BKB-word rows.
+
+    Word contents are identical to build_myers_tables (same F_TAB
+    anchoring and masking); only the storage blocking differs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_o, LA = oriented.shape
+    PW, BW = table_words(LA)
+    NBb, NBc = blocked_counts(LA)
+    la_row = lengths[jnp.arange(n_o) // 2]
+    pos = jnp.arange(LA, dtype=jnp.int32)[None, :]
+    PAD = jnp.asarray(4, oriented.dtype)
+    masked = jnp.where(pos < la_row[:, None], oriented, PAD)
+    flip = jnp.flip(masked, axis=1)
+
+    def peq_blocks(rows):
+        w = jnp.pad(
+            rows, ((0, 0), (F_TAB * WB, NBb * BK * WB - F_TAB * WB - LA)),
+            constant_values=4,
+        )
+        p = jnp.transpose(_build_peq(w, NBb * BK), (2, 1, 0))  # [n_o,4,NBb*BK]
+        # word-major flat rows: [n_o, NBb, BK, 4] -> [n_o*NBb, BK*4]
+        return (
+            p.reshape(n_o, 4, NBb, BK)
+            .transpose(0, 2, 3, 1)
+            .reshape(n_o * NBb, BK * 4)
+        )
+
+    def pack_rows(rows, n_words):
+        w = jnp.pad(rows, ((0, 0), (0, n_words * 16 - LA)))
+        v = (w.astype(jnp.uint32) & 3).reshape(n_o, n_words, 16)
+        sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+        return (v << sh).sum(axis=2, dtype=jnp.uint32)
+
+    # fwd packed words: v1 consumers gate j < lb, but words beyond BW must
+    # be ZERO to match fwd_prep_tab's zero-pad (bit-exactness of the
+    # garbage-tolerant kernels does not require it; cheap anyway)
+    nbw = max(JWMAX, BW)
+    bpk_f = pack_rows(masked, nbw)[:, :JWMAX]
+    if BW < JWMAX:
+        wmask = jnp.arange(JWMAX, dtype=jnp.int32)[None, :] < BW
+        bpk_f = jnp.where(wmask, bpk_f, jnp.uint32(0))
+    bpk_r = pack_rows(flip, NBc * BKB)
+    wmask_r = jnp.arange(NBc * BKB, dtype=jnp.int32)[None, :] < BW
+    bpk_r = jnp.where(wmask_r, bpk_r, jnp.uint32(0)).reshape(
+        n_o * NBc, BKB
+    )
+    return {
+        "win": jnp.concatenate(
+            [peq_blocks(masked), peq_blocks(flip), bpk_f, bpk_r], axis=0
+        )
+    }
+
+
 def _myers_pair_core(a_rows, b_rows, la, lb, d0, W: int, J: int):
     """Full traceable per-batch compute (fwd + start recovery).
 

@@ -126,26 +126,96 @@ def _band_min_scan(VP, VN, s_top, base_rel, lo, hi, K: int):
     return bm
 
 
+def _residual_barrel(x, srem, n_out, zeros_like_word, res: int | None = None):
+    """In-kernel residual barrel: out[w] = x[w + srem] for w < n_out, with
+    per-pair srem in [0, res) on the trailing (R, 128) axes.  High-bit-first
+    levels with progressive truncation keep the live set shrinking; all
+    selects are VMEM-resident VPU work (the round-3 XLA barrel paid an HBM
+    round trip per level)."""
+    import jax.numpy as jnp
+
+    bits = ((res or BK2) - 1).bit_length()
+    for j in reversed(range(bits)):
+        step = 1 << j
+        if step >= x.shape[0]:
+            continue
+        shifted = jnp.concatenate(
+            [x[step:]] + [zeros_like_word] * step, axis=0
+        )[: x.shape[0]]
+        sel = ((srem >> j) & 1) == 1
+        x = jnp.where(sel[(None,) * (x.ndim - 2)], shifted, x)
+        keep = n_out + step - 1
+        if keep < x.shape[0]:
+            x = x[:keep]
+    return x[:n_out]
+
+
+BK2 = 32  # must equal myers.BK (peq fetch-block size; residual < BK2)
+BKB2 = 128  # must equal myers.BKB (packed-b fetch-row size)
+
+
 def _make_myers_fwd(W: int, J: int, interpret: bool = False,
-                    R: int = BLK_ROWS):
+                    R: int = BLK_ROWS, tab2: bool = False):
     """Forward kernel factory.  Returns run(la_rel2, la2, lb2, peq, bpk)
-    -> (cost2, iend_rel2, jend2, win2), all [B/128, 128] int32."""
+    -> (cost2, iend_rel2, jend2, win2), all [B/128, 128] int32.
+
+    With ``tab2`` the peq window arrives as per-pair COARSE FETCH BLOCKS
+    (step-major slab [NSTEP, GF*BK, 4, R, 128] in HBM, manually DMA'd and
+    single-buffered) plus the per-pair residual word shift; the kernel
+    barrel-shifts the residual in VMEM before the identical DP loop.  See
+    myers.build_myers_tables_blocked."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from phasm_tpu.overlap.extend import WINDOW
+    from phasm_tpu.overlap.myers import tab2_geometry
 
     K = K_of(W)
     NB = J // WB
     NBLK = NB + K
     JW = J // 16
     assert J % WB == 0 and J % (WINDOW // 2) == 0
+    GF = tab2_geometry(W, J)[0]
+    GW = GF * BK2
 
-    def kernel(la_rel_ref, la_ref, lb_ref, d0_ref, peq_ref, bpk_ref,
-               cost_ref, iend_ref, jend_ref, win_ref):
+    def kernel(*refs):
         u32 = jnp.uint32
+        if tab2:
+            (la_rel_ref, la_ref, lb_ref, d0_ref, srem_ref, sm_ref,
+             cost_ref, iend_ref, jend_ref, win_ref,
+             pq_scr, bpk_scr, sems) = refs
+            bpk_ref = bpk_scr
+        else:
+            (la_rel_ref, la_ref, lb_ref, d0_ref, peq_ref, bpk_ref,
+             cost_ref, iend_ref, jend_ref, win_ref) = refs
+            pq_scr = peq_ref
+        if tab2:
+            step_i = pl.program_id(0)  # hoisted: not traceable in run_scoped
+
+            def prologue(slab):
+                cp = pltpu.make_async_copy(
+                    sm_ref.at[step_i, 0:GF], slab, sems.at[0]
+                )
+                cb = pltpu.make_async_copy(
+                    sm_ref.at[step_i, GF, 0:JW], bpk_scr, sems.at[1]
+                )
+                cp.start()
+                cb.start()
+                cp.wait()
+                # word-major flat rows: [GF, 128, R, 128] IS
+                # [GF*BK, 4, R, 128] (lane w*4 + c), reshape is free
+                x = slab[:].reshape(GF * BK2, 4, R, 128)
+                pq_scr[:, :] = _residual_barrel(
+                    x, srem_ref[:],
+                    NBLK, jnp.zeros((1, 4, R, 128), u32),
+                )
+                cb.wait()
+
+            pl.run_scoped(
+                prologue, pltpu.VMEM((GF, 128, R, 128), jnp.uint32)
+            )
         la_rel = la_rel_ref[:]
         la = la_ref[:]
         lb = lb_ref[:]
@@ -195,7 +265,7 @@ def _make_myers_fwd(W: int, J: int, interpret: bool = False,
             below = below & ~enter
 
             # match masks for this block's K words: [4, R, 128] each
-            pq = [peq_ref[blk + k] for k in range(K)]
+            pq = [pq_scr[blk + k] for k in range(K)]
             # the block's 32 columns span exactly 2 packed-b words
             bw0 = bpk_ref[blk * 2]
             bw1 = bpk_ref[blk * 2 + 1]
@@ -331,54 +401,139 @@ def _make_myers_fwd(W: int, J: int, interpret: bool = False,
         jend_ref[:] = bj
         win_ref[:] = jnp.maximum(wmax, wmax2)
 
-    def run(la_rel2, la2, lb2, d02, peq, bpk):
+    def run(la_rel2, la2, lb2, d02, *rest):
         Bq = la_rel2.shape[0]
         grid = (Bq // R,)
         o = jax.ShapeDtypeStruct((Bq, 128), jnp.int32)
         s2 = pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
+        bpk_spec = pl.BlockSpec(
+            (JW, R, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        if tab2:
+            in_specs = [
+                s2, s2, s2, s2, s2,
+                pl.BlockSpec(memory_space=pltpu.HBM),  # combined slab
+            ]
+            scratch = [
+                pltpu.VMEM((NBLK, 4, R, 128), jnp.uint32),
+                pltpu.VMEM((JW, R, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            in_specs = [
                 s2, s2, s2, s2,
                 pl.BlockSpec(
                     (NBLK, 4, R, 128), lambda i: (0, 0, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
-                    (JW, R, 128), lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+                bpk_spec,
+            ]
+            scratch = []
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
             out_specs=(s2, s2, s2, s2),
             out_shape=(o, o, o, o),
+            scratch_shapes=scratch,
             cost_estimate=pl.CostEstimate(
-                flops=Bq * 128 * J * K * 30, bytes_accessed=peq.size * 4,
+                flops=Bq * 128 * J * K * 30,
+                bytes_accessed=rest[-2].size * 4,
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(la_rel2, la2, lb2, d02, peq, bpk)
+        )(la_rel2, la2, lb2, d02, *rest)
 
     return run
 
 
 def _make_myers_rev(W: int, J: int, interpret: bool = False,
-                    R: int = BLK_ROWS):
+                    R: int = BLK_ROWS, tab2: bool = False):
     """Reverse (anchored-end start recovery) kernel factory.  Returns
-    run(row_off2, la2, lb2, peq_r, bpk_r) -> (cost2, best_row2) int32."""
+    run(row_off2, la2, lb2, peq_r, bpk_r) -> (cost2, best_row2) int32.
+
+    With ``tab2`` both windows arrive as coarse fetch-block slabs; the
+    kernel applies the residual word barrel, the per-pair BIT funnel
+    (reverse anchors are not 32-aligned), the below-prefix whole-word mask,
+    and the packed-b code funnel in VMEM before the identical DP loop —
+    the whole of rev_prep_tab minus the gathers."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from phasm_tpu.overlap.myers import tab2_geometry
+
     K = rev_K(W)
     NB = J // WB
     NBLK = NB + K
     JW = J // 16
+    GR, GB = tab2_geometry(W, J)[1:]
 
-    def kernel(row_off_ref, la_ref, lb_ref, peq_ref, bpk_ref,
-               cost_ref, row_ref):
+    def kernel(*refs):
         u32 = jnp.uint32
+        if tab2:
+            (row_off_ref, la_ref, lb_ref, srem_ref, delta_ref, negm0r_ref,
+             cbrem_ref, db_ref, sm_ref,
+             cost_ref, row_ref, pq_scr, bpk_scr, sems) = refs
+        else:
+            (row_off_ref, la_ref, lb_ref, peq_ref, bpk_ref,
+             cost_ref, row_ref) = refs
+            pq_scr, bpk_scr = peq_ref, bpk_ref
+        if tab2:
+            # two scopes: the peq slab + its barrel temporaries die before
+            # the bpk slab allocates, keeping peak scoped VMEM well under
+            # the 16 MB v5e limit at R = 16
+            step_i = pl.program_id(0)  # hoisted: not traceable in run_scoped
+
+            def peq_prologue(slab):
+                cp = pltpu.make_async_copy(
+                    sm_ref.at[step_i, 0:GR], slab, sems.at[0]
+                )
+                cp.start()
+                cp.wait()
+                # residual word shift, then the bit-level funnel with
+                # per-pair delta, then zero whole words below the reversed
+                # prefix (absrr < 0 <=> word k < -m0r) — rev_prep_tab exact
+                x = _residual_barrel(
+                    slab[:].reshape(GR * BK2, 4, R, 128), srem_ref[:],
+                    NBLK + 1, jnp.zeros((1, 4, R, 128), u32),
+                )
+                d = delta_ref[:].astype(u32)[None, None]
+                hi_sh = (u32(32) - d) % u32(32)
+                y = (x[:NBLK] >> d) | jnp.where(
+                    d == 0, u32(0), x[1 : NBLK + 1] << hi_sh
+                )
+                k_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, (NBLK, 4, R, 128), 0
+                )
+                pq_scr[:, :] = jnp.where(
+                    k_idx < negm0r_ref[:][None, None], u32(0), y
+                )
+
+            def bpk_prologue(bslab):
+                cb = pltpu.make_async_copy(
+                    sm_ref.at[step_i, GR : GR + GB], bslab, sems.at[1]
+                )
+                cb.start()
+                cb.wait()
+                z = _residual_barrel(
+                    bslab[:].reshape(GB * BKB2, R, 128),
+                    cbrem_ref[:], JW + 1, jnp.zeros((1, R, 128), u32),
+                    res=BKB2,
+                )
+                dbv = db_ref[:].astype(u32)[None]
+                hi_b = (u32(32) - dbv) % u32(32)
+                bpk_scr[:, :] = (z[:JW] >> dbv) | jnp.where(
+                    dbv == 0, u32(0), z[1 : JW + 1] << hi_b
+                )
+
+            pl.run_scoped(
+                peq_prologue, pltpu.VMEM((GR, 128, R, 128), jnp.uint32)
+            )
+            pl.run_scoped(
+                bpk_prologue, pltpu.VMEM((GB, BKB2, R, 128), jnp.uint32)
+            )
         row_off = row_off_ref[:]
         la = la_ref[:]
         lb = lb_ref[:]
@@ -414,10 +569,10 @@ def _make_myers_rev(W: int, J: int, interpret: bool = False,
                 jnp.where(act_s, VN[k + 1], VN[k]) for k in range(K - 1)
             ) + (jnp.where(act_s, zero_u, VN[K - 1]),)
 
-            pq = [peq_ref[blk + k] for k in range(K)]
+            pq = [pq_scr[blk + k] for k in range(K)]
 
-            bw0 = bpk_ref[blk * 2]
-            bw1 = bpk_ref[blk * 2 + 1]
+            bw0 = bpk_scr[blk * 2]
+            bw1 = bpk_scr[blk * 2 + 1]
 
             def col_step(u, cc):
                 VP, VN, s_top = cc
@@ -479,15 +634,23 @@ def _make_myers_rev(W: int, J: int, interpret: bool = False,
         cost_ref[:] = bc
         row_ref[:] = br
 
-    def run(row_off2, la2, lb2, peq, bpk):
+    def run(row_off2, la2, lb2, *rest):
         Bq = row_off2.shape[0]
         grid = (Bq // R,)
         o = jax.ShapeDtypeStruct((Bq, 128), jnp.int32)
         s2 = pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
+        if tab2:
+            in_specs = [
+                s2, s2, s2, s2, s2, s2, s2, s2,
+                pl.BlockSpec(memory_space=pltpu.HBM),  # combined slab
+            ]
+            scratch = [
+                pltpu.VMEM((NBLK, 4, R, 128), jnp.uint32),
+                pltpu.VMEM((JW, R, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            in_specs = [
                 s2, s2, s2,
                 pl.BlockSpec(
                     (NBLK, 4, R, 128), lambda i: (0, 0, i, 0),
@@ -497,15 +660,22 @@ def _make_myers_rev(W: int, J: int, interpret: bool = False,
                     (JW, R, 128), lambda i: (0, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
-            ],
+            ]
+            scratch = []
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
             out_specs=(s2, s2),
             out_shape=(o, o),
+            scratch_shapes=scratch,
             cost_estimate=pl.CostEstimate(
-                flops=Bq * 128 * J * K * 30, bytes_accessed=peq.size * 4,
+                flops=Bq * 128 * J * K * 30,
+                bytes_accessed=rest[-2].size * 4,
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(row_off2, la2, lb2, peq, bpk)
+        )(row_off2, la2, lb2, *rest)
 
     return run
 
@@ -669,6 +839,194 @@ def myers_pallas_compute_tab(
     cost_r, best_row = [
         x.reshape(B)
         for x in rev(_q(row_off), _q(iend), _q(jend), _q(peq_r), _q(bpk_r))
+    ]
+    i0 = iend - best_row
+
+    cost_r = jnp.where(jend == 0, 0, cost_r)
+    i0 = jnp.where(jend == 0, iend, i0)
+    valid = cost_f < MBIG
+    return (
+        jnp.where(valid, cost_r, jnp.int32(BIG))[:B0],
+        jnp.where(valid, i0, 0)[:B0],
+        jnp.where(valid, iend, 0)[:B0],
+        jnp.where(valid, jend, 0)[:B0],
+        jnp.where(valid, win, 0)[:B0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked-table entry (round 4): coarse-block gathers + in-kernel residual
+# barrel/funnel.  See myers.build_myers_tables_blocked for the layout and
+# the header comment there for why this beats the round-3 XLA prep.
+# ---------------------------------------------------------------------------
+
+
+def kernel_vmem_bytes_tab2(W: int, J: int, R: int) -> int:
+    """Scoped-VMEM estimate for the tab2 kernels (rev dominates): the
+    single-buffered slabs + residual-barrel temporaries + window scratch +
+    funnel temporaries.  LA-independent by design (the slab covers only the
+    J-sized window's fetch blocks)."""
+    from phasm_tpu.overlap.myers import tab2_geometry
+
+    GF, GR, GB = tab2_geometry(W, J)
+    tile = R * 128 * 4
+    nr = J // WB + rev_K(W)
+    # the first barrel level holds x + its shifted copy (2x slab); later
+    # levels truncate below that, and the funnel runs on the (much smaller)
+    # truncated set, so 2x slab bounds each scope's peak
+    peq_scope = 2 * max(GF, GR) * 128
+    bpk_scope = 2 * GB * BKB2
+    persistent = nr * 4 + J // 16  # pq_scr + bpk_scr
+    return (persistent + max(peq_scope, bpk_scope)) * tile
+
+
+def blk_rows2(W: int, J: int) -> int:
+    return 16 if kernel_vmem_bytes_tab2(W, J, 16) <= VMEM_BUDGET else 8
+
+
+def tab2_fits(W: int, J: int) -> bool:
+    """True when (W, J) can route to the tab2 kernels at R = 8 at least."""
+    from phasm_tpu.overlap.myers import JWMAX
+
+    return J // 16 <= JWMAX and kernel_vmem_bytes_tab2(W, J, 8) <= VMEM_BUDGET
+
+
+_FWD2: dict = {}
+_REV2: dict = {}
+
+
+def _get_fwd_tab2(W: int, J: int, interpret: bool, R: int):
+    key = (W, J, interpret, R)
+    if key not in _FWD2:
+        _FWD2[key] = _make_myers_fwd(W, J, interpret, R, tab2=True)
+    return _FWD2[key]
+
+
+def _get_rev_tab2(W: int, J: int, interpret: bool, R: int):
+    key = (W, J, interpret, R)
+    if key not in _REV2:
+        _REV2[key] = _make_myers_rev(W, J, interpret, R, tab2=True)
+    return _REV2[key]
+
+
+def _step_major(g, R: int):
+    """Gathered 128-lane fetch rows -> the kernels' step-major slab layout.
+
+    g [B, G, 128] -> [B/(R*128), G, 128, R, 128] so a grid step's sub-slabs
+    are leading-index DMAs (tile-aligned trailing dims; Mosaic rejects
+    arbitrary-offset slices of tiled memrefs).  This is the ONE relayout
+    pass per kernel — everything else is free leading-dim reshapes thanks
+    to the word-major flat rows."""
+    import jax.numpy as jnp
+
+    B, G = g.shape[0], g.shape[1]
+    ns = B // (R * 128)
+    return jnp.transpose(
+        g.reshape(ns, R, 128, G, 128), (0, 3, 4, 1, 2)
+    )
+
+
+def myers_pallas_compute_tab2(
+    win_tab, lengths,
+    a_oid, b_oid, d0, *, LA: int, W: int, J: int, interpret: bool = False,
+):
+    """Production blocked-table entry: same contract and bit-identical
+    outputs as myers_pallas_compute_tab (tested), with the window shift
+    networks in-kernel and, per kernel, ONE combined coarse-block gather +
+    ONE step-major relayout in XLA (row gathers are per-index bound: four
+    separate gathers cost ~2x two combined ones)."""
+    import jax.numpy as jnp
+
+    from phasm_tpu.overlap.extend import BIG
+    from phasm_tpu.overlap.myers import (
+        F_TAB,
+        blocked_counts,
+        fwd_anchor,
+        rev_anchor,
+        tab2_geometry,
+        tab2_offsets,
+    )
+
+    R = blk_rows2(W, J)
+    NBb, NBc = blocked_counts(LA)
+    GF, GR, GB = tab2_geometry(W, J)
+    n_rows = win_tab.shape[0]
+    n_o = n_rows // (2 * NBb + 1 + NBc)
+    OFF_R, OFF_BF, OFF_BR = tab2_offsets(n_o, LA)
+
+    B0 = a_oid.shape[0]
+    B = -(-B0 // (R * 128)) * (R * 128)
+    if B != B0:
+        a_oid = jnp.pad(a_oid, (0, B - B0))
+        b_oid = jnp.pad(b_oid, (0, B - B0))
+        d0 = jnp.pad(d0, (0, B - B0))
+    la = lengths[a_oid >> 1]
+    lb = lengths[b_oid >> 1]
+
+    m0 = fwd_anchor(d0, W)
+    s = m0 + F_TAB  # >= F_TAB - 2 (non-negative word offset)
+    s32 = s // BK2
+    srem = s - s32 * BK2
+    # bounds derivation (myers.F_TAB comment): s <= PW - 2, so
+    # s32 + GF - 1 < NBb; the clamp is belt-and-braces for padded pairs
+    idx_f = jnp.concatenate(
+        [
+            jnp.clip(
+                (a_oid * NBb + s32)[:, None]
+                + jnp.arange(GF, dtype=jnp.int32)[None, :],
+                0, OFF_R - 1,
+            ),
+            (OFF_BF + b_oid)[:, None],
+        ],
+        axis=1,
+    )
+    sm_f = _step_major(win_tab[idx_f], R)
+
+    fwd = _get_fwd_tab2(W, J, interpret, R)
+    la_rel = la - m0 * WB
+    cost_f, iend_rel, jend, win = [
+        x.reshape(B)
+        for x in fwd(
+            _q(la_rel), _q(la), _q(lb), _q(d0), _q(srem), sm_f,
+        )
+    ]
+    iend = iend_rel + m0 * WB
+
+    m0r = rev_anchor(iend, jend, d0, W)
+    obit = (LA - iend) + m0r * WB + F_TAB * WB
+    q0 = obit // WB  # >= 0 (F_TAB bound), <= PW - K_of(W)
+    delta = obit - q0 * WB
+    q32 = q0 // BK2
+    qrem = q0 - q32 * BK2
+    cb = LA - jend
+    cbw = cb // 16
+    db = (2 * (cb - cbw * 16)).astype(jnp.int32)
+    c128 = cbw // BKB2
+    crem = cbw - c128 * BKB2
+    idx_r = jnp.concatenate(
+        [
+            jnp.clip(
+                (OFF_R + a_oid * NBb + q32)[:, None]
+                + jnp.arange(GR, dtype=jnp.int32)[None, :],
+                OFF_R, OFF_BF - 1,
+            ),
+            jnp.clip(
+                (OFF_BR + b_oid * NBc + c128)[:, None]
+                + jnp.arange(GB, dtype=jnp.int32)[None, :],
+                OFF_BR, n_rows - 1,
+            ),
+        ],
+        axis=1,
+    )
+    sm_r = _step_major(win_tab[idx_r], R)
+
+    rev = _get_rev_tab2(W, J, interpret, R)
+    cost_r, best_row = [
+        x.reshape(B)
+        for x in rev(
+            _q(m0r * WB), _q(iend), _q(jend), _q(qrem), _q(delta),
+            _q(-m0r), _q(crem), _q(db), sm_r,
+        )
     ]
     i0 = iend - best_row
 

@@ -114,9 +114,15 @@ def _as_oriented(a, b, la, lb):
 
 
 def _run_tab_vs_gather(a, b, la, lb, d0, W, J):
+    """All three table paths must agree bit-exactly with the gather path:
+    the round-3 tab path AND the round-4 blocked-table tab2 path (coarse
+    fetch blocks + in-kernel residual barrel/funnel)."""
     import jax
 
-    from phasm_tpu.overlap.myers import build_myers_tables
+    from phasm_tpu.overlap.myers import (
+        build_myers_tables,
+        build_myers_tables_blocked,
+    )
 
     oriented, lengths, a_oid, b_oid = _as_oriented(a, b, la, lb)
     d0 = d0.astype(np.int32)
@@ -128,15 +134,21 @@ def _run_tab_vs_gather(a, b, la, lb, d0, W, J):
         t["peq"], t["bpk"], lengths, a_oid, b_oid, d0,
         LA=oriented.shape[1], W=W, J=J, interpret=True,
     )
+    t2 = jax.jit(build_myers_tables_blocked)(oriented, lengths)
+    got2 = MP.myers_pallas_compute_tab2(
+        t2["win"], lengths, a_oid, b_oid, d0,
+        LA=oriented.shape[1], W=W, J=J, interpret=True,
+    )
     names = ("cost", "i0", "iend", "jend", "win")
-    for n, w, g in zip(names, want, got):
-        w = np.asarray(w)
-        g = np.asarray(g)
-        bad = np.nonzero(w != g)[0]
-        assert bad.size == 0, (
-            n, bad[:10], w[bad[:10]], g[bad[:10]],
-            la[bad[:10]], lb[bad[:10]], d0[bad[:10]],
-        )
+    for tag, res in (("tab", got), ("tab2", got2)):
+        for n, w, g in zip(names, want, res):
+            w = np.asarray(w)
+            g = np.asarray(g)
+            bad = np.nonzero(w != g)[0]
+            assert bad.size == 0, (
+                tag, n, bad[:10], w[bad[:10]], g[bad[:10]],
+                la[bad[:10]], lb[bad[:10]], d0[bad[:10]],
+            )
 
 
 @pytest.mark.parametrize("W", [64, 128])
@@ -217,3 +229,9 @@ def test_myers_vmem_gate_routes_long_j_to_wband():
     assert ext._is_tab_run(None, 8192)
     assert not ext._is_tab_run(None, 12288)   # -> W-band segmented kernel
     assert not ext._is_tab_run(256, 2048)     # over MYERS_MAX_BAND
+    # tiered routing: tab2 (blocked tables, in-kernel barrel) for the short
+    # buckets; the round-3 XLA-barrel tab path for mid-J; W-band beyond
+    assert ext._is_tab2_run(None, 2048)
+    assert ext._is_tab2_run(128, 1024)
+    assert not ext._is_tab2_run(None, 4096)   # -> round-3 tab path
+    assert not ext._is_tab2_run(256, 2048)
