@@ -237,9 +237,10 @@ def main():
 
     W = 64
     if backend == "tpu":
-        # large batch amortizes the per-call dispatch overhead (~5 ms through
-        # the axon tunnel); production engine batches the same way
-        JMAX, M, iters = 2048, 16384, 20
+        # batch = the engine's _MAX_BATCH: the per-call fixed cost (stacked
+        # index upload + tunnel dispatch + fetch, ~5-6 ms) must amortize
+        # over the same pair count production uses
+        JMAX, M, iters = 2048, 32768, 20
         READ_LEN, N_READS = 4096, 512
     else:
         JMAX, M, iters = 1024, 256, 3
@@ -336,6 +337,9 @@ def _watchdog_parent():
             continue
         lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
         if p.returncode == 0 and lines:
+            for ln in p.stderr.splitlines():  # keep roofline diagnostics
+                if ln.startswith("#"):
+                    print(ln, file=sys.stderr)
             print(lines[-1])
             return 0
         sys.stderr.write(p.stderr[-2000:])

@@ -61,7 +61,11 @@ class OverlapConfig:
     # classification) lives in filter.FilterChain / graph.pop.
 
 
-_MAX_BATCH = 16384  # pairs per device call (amortizes dispatch, bounds HBM)
+_MAX_BATCH = 32768  # pairs per device call (amortizes dispatch, bounds HBM).
+# Per-batch fixed cost (stacked-index upload + tunnel dispatch + fetch) is
+# ~5-6 ms on the axon link; at 16384 pairs it capped production throughput
+# at ~1.0M aligns/s vs 1.55M at 32768 (round-4 measurement).  HBM: the tab2
+# slabs are ~250 MB at 32k pairs — noise against 16 GB.
 
 
 def _bucket_edges(need: np.ndarray, cfg: OverlapConfig) -> list[int]:
