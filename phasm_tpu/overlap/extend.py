@@ -803,7 +803,17 @@ class DeviceExtender:
         # arguments, so it is instance-independent: memoize per process, not
         # per DeviceExtender — re-TRACING every (band, jmax) variant cost
         # ~5-7 s per bucket per overlap_reads() call (the round-2 c3
-        # profile's entire "dispatch" time)
+        # profile's entire "dispatch" time).
+        #
+        # LA MUST be part of the key: the table-driven computes bake the
+        # oriented-matrix width (and with it the blocked-table geometry
+        # NBb/NBc and anchor offsets) into the closure as static constants.
+        # Without it, the SECOND dataset in a process silently reused the
+        # first dataset's geometry against its own differently-shaped
+        # tables — garbage windows, ~60-95% of alignments lost.  Found by
+        # the round-4 ladder's new accuracy columns (c2-c6 collapsed while
+        # c1, which ran first, was bit-correct); latent since the round-3
+        # tab path and the likely reason the r3 ladder never completed.
         mk = None
         if self._mesh is not None:
             mk = (
@@ -811,7 +821,8 @@ class DeviceExtender:
                 tuple(d.id for d in self._mesh.devices.flat),
                 self._mesh.axis_names,
             )
-        gkey = (W, jmax, block_b, self._use_pallas, self.backend, mk)
+        LA = int(self._oriented.shape[1])
+        gkey = (W, jmax, block_b, self._use_pallas, self.backend, mk, LA)
         if gkey in _GLOBAL_RUNS:
             run = _GLOBAL_RUNS[gkey]
             self._runs[key] = run

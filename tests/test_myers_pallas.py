@@ -235,3 +235,34 @@ def test_myers_vmem_gate_routes_long_j_to_wband():
     assert ext._is_tab2_run(128, 1024)
     assert not ext._is_tab2_run(None, 4096)   # -> round-3 tab path
     assert not ext._is_tab2_run(256, 2048)
+
+
+def test_engine_two_datasets_one_process_no_stale_geometry():
+    """REGRESSION (round-4 ladder): the jitted table computes bake the
+    oriented-matrix width (table geometry) into their closures; the
+    process-level run cache must therefore key on LA.  Without it, the
+    SECOND dataset in a process reused the first's geometry — garbage
+    windows, 60-95% of alignments lost (ladder rungs c2-c6 collapsed
+    while c1, which ran first, stayed bit-correct)."""
+    from phasm_tpu.overlap import OverlapConfig, overlap_reads
+    from phasm_tpu.sim import simulate_reads
+
+    # two read sets with clearly different max read lengths
+    rs_long, _ = simulate_reads(
+        seed=21, genome_len=6_000, ploidy=1, coverage=6, mean_read_len=1500,
+        error_rate=0.04, read_len_spread=0.2,
+    )
+    rs_short, _ = simulate_reads(
+        seed=22, genome_len=6_000, ploidy=1, coverage=8, mean_read_len=600,
+        error_rate=0.04, read_len_spread=0.2,
+    )
+    # prime the process caches with the LONG dataset, then run the short
+    # one; each must match its own backend="myers" golden (same block-band
+    # semantics, no geometry baked in its closures)
+    for rs in (rs_long, rs_short):
+        t_pl = overlap_reads(rs, OverlapConfig(min_overlap=300,
+                                               backend="myers_pallas"))
+        t_my = overlap_reads(rs, OverlapConfig(min_overlap=300,
+                                               backend="myers"))
+        assert len(t_my) > 20
+        assert np.array_equal(t_my.as_matrix(), t_pl.as_matrix())
