@@ -80,6 +80,13 @@ class PipelineConfig:
     round2_max_err: float = 0.30  # placement sanity cap (read vs draft)
     round2_trim_cov: int = 2  # trim draft ends below this placed coverage
     round2_iters: int = 1  # placement+polish rounds (a 2nd round was net-negative: re-seeding against the once-rewritten draft corrupted low-coverage tails)
+    # round-2 polish builds a DENSE (drafts + reads, max_len) code matrix
+    # for the mini overlap; with megabase drafts that is O(n_reads x
+    # draft_len) host memory (a 6.1 Mb draft x 25k reads = 152 GB on the
+    # c6 rung).  Skip — loudly — above this budget; round-1 pileup polish
+    # (streaming, per-contig) still runs.  Chunked draft seeding would
+    # lift the limit (round-5 item).
+    round2_max_bytes: float = 4e9
     best_end: bool = False  # relative-best edge selection per read end
     # (off by default: the engine's windowed-divergence filter is the
     # primary cross-haplotype edge killer; best_end thins anchor braids
@@ -180,6 +187,17 @@ def _polish_round2(entries, reads: ReadSet, cfg, polish_fn):
     LB = int(reads.codes.shape[1])
     L = max(LA, LB)
     n_items = D + reads.n_reads
+    if float(n_items) * L > cfg.round2_max_bytes:
+        import logging
+
+        metrics.incr("polish2.skipped_over_budget")
+        logging.getLogger("phasm_tpu.pipeline").warning(
+            "polish round 2 skipped: dense code matrix would be "
+            "%d x %d = %.1f GB (> round2_max_bytes=%.1f GB); round-1 "
+            "pileup polish still applied",
+            n_items, L, n_items * L / 1e9, cfg.round2_max_bytes / 1e9,
+        )
+        return
     codes = np.zeros((n_items, L), dtype=np.uint8)
     lengths = np.zeros(n_items, dtype=np.int32)
     for i, s in enumerate(drafts):
