@@ -75,6 +75,20 @@ class PhaseConfig:
     # refine_assignment_by_window_excess.  The reference joins chains
     # unconditionally (no phase-block machinery at all).
     min_link_reads: int = 2
+    # linkage additionally requires DISCRIMINATING evidence: a read only
+    # counts toward linking a gap when, at each bubble it constrains, it
+    # touches one arm cleanly AND another arm only through window-suspect
+    # alignments (corroborated Poisson excess, the filter.py statistic).
+    # Without this, background reads in the inter-hotspot gap "constrain"
+    # bubbles through pure error noise / structural path bias — their
+    # constraint rows are IDENTICAL for reads of either haplotype (measured
+    # on the c4 ladder rung: all 12 linkers of a 0.52-purity join imposed
+    # the same row), so the DP's cross-gap phase choice they license is a
+    # coin flip.  Requires the alignment table's win column; tables without
+    # it keep the permissive rule.
+    link_discrimination: bool = True
+    link_z: float = 6.0
+    link_min_excess: float = 12.0
 
 
 @dataclasses.dataclass
@@ -104,6 +118,19 @@ def canonical_pair(ug: UnitigGraph, u: int) -> int:
     return min(int(u), int(ug.rc[u]))
 
 
+def _pair_of_read(ug: UnitigGraph, n_reads: int) -> np.ndarray:
+    """[N] canonical unitig pair each read is a member of (-1 if none)."""
+    o2u = ug.read_to_unitig(n_reads)
+    pair_of_read = np.full(n_reads, -1, dtype=np.int64)
+    for r in range(n_reads):
+        u = o2u[2 * r]
+        if u < 0:
+            u = o2u[2 * r + 1]
+        if u >= 0:
+            pair_of_read[r] = canonical_pair(ug, int(u))
+    return pair_of_read
+
+
 def read_touch_errs(
     ug: UnitigGraph, n_reads: int, aln: AlignmentTable
 ) -> dict[int, dict[int, float]]:
@@ -119,14 +146,7 @@ def read_touch_errs(
     to the arms of its own haplotype, which is exactly the cross-bubble
     linkage signal.
     """
-    o2u = ug.read_to_unitig(n_reads)
-    pair_of_read = np.full(n_reads, -1, dtype=np.int64)
-    for r in range(n_reads):
-        u = o2u[2 * r]
-        if u < 0:
-            u = o2u[2 * r + 1]
-        if u >= 0:
-            pair_of_read[r] = canonical_pair(ug, int(u))
+    pair_of_read = _pair_of_read(ug, n_reads)
 
     touch: dict[int, dict[int, float]] = {r: {} for r in range(n_reads)}
     for r in range(n_reads):
@@ -155,6 +175,54 @@ def read_touch_errs(
             if e < tb.get(pa, np.inf):
                 tb[pa] = e
     return touch
+
+
+def read_touch_dirty(
+    ug: UnitigGraph,
+    n_reads: int,
+    aln: AlignmentTable,
+    z: float = 6.0,
+    min_excess: float = 12.0,
+) -> dict[int, frozenset[int]] | None:
+    """read id -> canonical unitig pairs the read touches ONLY through
+    window-suspect alignments (corroborated cross-haplotype evidence).
+
+    An alignment row is *suspect* when its worst-window divergence exceeds
+    the pair's Poisson expectation (win > mu + max(z*sqrt(mu), min_excess),
+    mu = (e_a + e_b) * WINDOW — the same statistic as
+    filter.window_excess_mask / refine_assignment_by_window_excess).  A
+    (read, pair) touch is *dirty* iff every alignment establishing it is
+    suspect and the read is not a member of the pair.  A read that touches
+    one arm of a bubble cleanly and a sibling arm only dirtily has seen het
+    sites — that is the discriminating-evidence test for phase linkage
+    (PhaseConfig.link_discrimination).  Returns None when the table carries
+    no win column (callers fall back to the permissive rule)."""
+    if getattr(aln, "win", None) is None or len(aln) == 0:
+        return None
+    from phasm_tpu.filter import estimate_read_errors
+    from phasm_tpu.overlap.extend import WINDOW
+
+    e_read = estimate_read_errors(aln, n_reads)
+    mu = (e_read[aln.a_id] + e_read[aln.b_id]) * WINDOW
+    sus = aln.win > mu + np.maximum(z * np.sqrt(mu), min_excess)
+
+    pair_of_read = _pair_of_read(ug, n_reads)
+    dirty: dict[int, set[int]] = {}
+    clean: dict[int, set[int]] = {}
+    for r in range(n_reads):
+        if pair_of_read[r] >= 0:
+            clean.setdefault(r, set()).add(int(pair_of_read[r]))
+    for a, b, s in zip(aln.a_id.tolist(), aln.b_id.tolist(), sus.tolist()):
+        pa, pb = int(pair_of_read[a]), int(pair_of_read[b])
+        for x, p in ((a, pb), (b, pa)):
+            if p < 0:
+                continue
+            (dirty if s else clean).setdefault(x, set()).add(p)
+    return {
+        r: frozenset(d - clean.get(r, set()))
+        for r, d in dirty.items()
+        if d - clean.get(r, set())
+    }
 
 
 def consistent_paths(
@@ -265,9 +333,12 @@ class _ChainDP:
     phasm/phasing.py :: BubbleChainPhaser, SURVEY.md §4.3).  Both drivers
     produce bit-identical results (tested)."""
 
-    def __init__(self, ug, reads, aln, chain, cfg, touch):
+    def __init__(self, ug, reads, aln, chain, cfg, touch, dirty=None):
         self.ug, self.reads, self.chain, self.cfg = ug, reads, chain, cfg
         self.touch = touch
+        # read -> pairs touched only through window-suspect alignments
+        # (None when the table has no win column: every actor then links)
+        self.dirty = dirty if cfg.link_discrimination else None
         k = cfg.ploidy
         bubbles = chain.bubbles
         self.n_b = len(bubbles)
@@ -350,7 +421,18 @@ class _ChainDP:
             # 36 kb diagnosis: chimeric spanning haplotigs at ~0.6 purity
             # instead of split pure phase blocks)
             if not row.all():
-                self.acted.setdefault(r, []).append(i)
+                strong = True
+                if self.dirty is not None:
+                    # discriminating evidence only: the read must have seen
+                    # het sites AT THIS BUBBLE — one arm touched cleanly,
+                    # another only through window-suspect alignments (see
+                    # PhaseConfig.link_discrimination)
+                    dr = self.dirty.get(r, ())
+                    strong = any(u in dr for u in rel) and any(
+                        u not in dr for u in rel
+                    )
+                if strong:
+                    self.acted.setdefault(r, []).append(i)
 
         # extensions: ordered assignments; CWR fallback when P^k too large
         if P**k <= cfg.max_extensions:
@@ -550,12 +632,18 @@ def phase_chain(
     chain: BubbleChain,
     cfg: PhaseConfig | None = None,
     touch: dict[int, dict[int, float]] | None = None,
+    dirty: dict[int, frozenset[int]] | None = None,
 ) -> ChainPhaseResult:
     """Run the branch-score-prune DP over one bubble chain (sequential)."""
     cfg = cfg or PhaseConfig()
     if touch is None:
         touch = read_touch_errs(ug, reads.n_reads, aln)
-    dp = _ChainDP(ug, reads, aln, chain, cfg, touch)
+    if dirty is None and cfg.link_discrimination:
+        dirty = read_touch_dirty(
+            ug, reads.n_reads, aln, z=cfg.link_z,
+            min_excess=cfg.link_min_excess,
+        )
+    dp = _ChainDP(ug, reads, aln, chain, cfg, touch, dirty=dirty)
     score_step = _get_jit_score()
     for i in range(dp.n_b):
         metrics.incr("phasing.score_dispatches")
@@ -681,6 +769,14 @@ def phase_all(
     lanewise ops; reductions keep their axis order)."""
     cfg = cfg or PhaseConfig()
     touch = read_touch_errs(ug, reads.n_reads, aln)
+    dirty = (
+        read_touch_dirty(
+            ug, reads.n_reads, aln, z=cfg.link_z,
+            min_excess=cfg.link_min_excess,
+        )
+        if cfg.link_discrimination
+        else None
+    )
 
     # restrict each chain to the reads that touch ITS interiors: _ChainDP's
     # span scan is O(|touch| x n_bubbles), so handing every chain the full
@@ -705,12 +801,14 @@ def phase_all(
 
     if not batch or len(chains) <= 1:
         return [
-            phase_chain(ug, reads, aln, c, cfg, touch=touch_sub[ci])
+            phase_chain(
+                ug, reads, aln, c, cfg, touch=touch_sub[ci], dirty=dirty
+            )
             for ci, c in enumerate(chains)
         ]
 
     dps = [
-        _ChainDP(ug, reads, aln, c, cfg, touch_sub[ci])
+        _ChainDP(ug, reads, aln, c, cfg, touch_sub[ci], dirty=dirty)
         for ci, c in enumerate(chains)
     ]
     score_v = _get_jit_score_v()

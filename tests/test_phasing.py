@@ -468,3 +468,47 @@ def test_aneuploid_region_duplicate_arm_choice():
     # two haplotypes on the 2x-covered arm, one on the other (up to RC frame)
     rcB0, rcB1 = int(ug.rc[B0]), int(ug.rc[B1])
     assert arms in ([B0, B0, B1], sorted([rcB0, rcB0, rcB1])), arms
+
+
+def _with_win(aln, win_high):
+    """Attach a win column: HIGH-err rows get win_high, LOW rows 0."""
+    win = np.where(aln.diffs > 0, win_high, 0).astype(np.int32)
+    return AlignmentTable(
+        aln.a_id, aln.b_id, aln.strand, aln.a_start, aln.a_end,
+        aln.b_start, aln.b_end, aln.diffs, win=win,
+    )
+
+
+def test_linkage_requires_window_discrimination():
+    """With a win column present, only reads whose cross-arm touches carry
+    corroborated window excess may LINK bubbles
+    (PhaseConfig.link_discrimination).  Same fixture, two win colorings:
+
+      * discriminating (HIGH rows window-suspect): genuine het evidence on
+        both sides -> joined, no phase break;
+      * flat (every window clean): the linkers' arm preference is then
+        indistinguishable from background noise — measured on the c4
+        ladder rung, such "linkers" impose identical constraint rows for
+        reads of either haplotype, so the cross-gap phase they license is
+        a coin flip -> the gap must break.
+    """
+    ug, reads, aln, ids = chain_fixture(link="parallel")
+    res = phase_fixture(ug, reads, _with_win(aln, 200))
+    assert res.phase_breaks == []
+    # linkage still pairs the arms correctly (parallel rails)
+    pairs = set(arms_of(res, ids))
+    B, D = ids["B"], ids["D"]
+    rcB = [int(ug.rc[b]) for b in B]
+    rcD = [int(ug.rc[d]) for d in D]
+    ok_fwd = pairs == {(B[0], D[0]), (B[1], D[1])}
+    ok_rc = pairs == {(rcD[0], rcB[0]), (rcD[1], rcB[1])}
+    assert ok_fwd or ok_rc, pairs
+
+    res2 = phase_fixture(ug, reads, _with_win(aln, 0))
+    assert res2.phase_breaks == [1]
+
+    # opting out restores the permissive rule
+    res3 = phase_fixture(
+        ug, reads, _with_win(aln, 0), link_discrimination=False
+    )
+    assert res3.phase_breaks == []

@@ -89,3 +89,33 @@ def test_diploid_hotspot_allele_purity_and_identity():
     # blocks tile the genome: midpoint-trimmed, so each haplotype's blocks
     # sum to ~genome_len (anchors split, not duplicated)
     assert total_len >= 2 * 0.90 * 36_000, total_len
+
+
+def test_chunked_round2_polish_haploid_contig():
+    """Haploid assemblies emit only contigs, which now get the draft-guided
+    round-2 polish too (round-1 pileup votes with unitig members alone —
+    contained reads never vote — leaving a ~1% error floor on
+    indel-dominated reads, the c3/c6 ladder identity gap).  round2_chunk is
+    forced below the contig length so the draft-chunking path (megabase
+    drafts at c6 scale) is exercised: placements from overlapping chunks
+    must dedup to one vote per (draft, read)."""
+    from phasm_tpu.eval import evaluate_assembly
+
+    rs, truth = simulate_reads(
+        seed=7, genome_len=30_000, ploidy=1, coverage=16,
+        mean_read_len=3000, error_rate=0.06, read_len_spread=0.3,
+    )
+    t = overlap_reads(rs, OverlapConfig(min_overlap=700, backend="jnp"))
+    cfg = PipelineConfig(
+        min_overlap_length=700, max_error_rate=0.16, length_fuzz=700,
+        polish=True, round2_chunk=8192,
+    )
+    res = assemble(rs, t, cfg)
+    assert res.stats["n_contigs"] >= 1
+    qc = evaluate_assembly(res, truth)
+    assert qc["kmer_identity"]["weighted_mean"] >= 0.85, qc
+    # deterministic (chunked placement dedup is order-stable)
+    res2 = assemble(rs, t, cfg)
+    assert [(n, s.tobytes()) for n, s in res.contigs] == [
+        (n, s.tobytes()) for n, s in res2.contigs
+    ]
