@@ -21,7 +21,7 @@ _SO = os.path.join(_NATIVE_DIR, "libphasm_native.so")
 
 _lib = None
 _tried = False
-_ABI_VERSION = 2  # must match phasm_native_abi_version() in the .cpp
+_ABI_VERSION = 3  # must match phasm_native_abi_version() in the .cpp
 
 
 def _build() -> bool:
@@ -160,19 +160,31 @@ def _bind_polish(lib):
         return
     i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
     p = ctypes.POINTER
-    lib.polish_accumulate.restype = ctypes.c_int
-    lib.polish_accumulate.argtypes = [
-        p(u8), i64, p(u8), i32, i64, i64, i32, p(i32), p(i32),
-    ]
-    lib.polish_consensus.restype = i64
-    lib.polish_consensus.argtypes = [
-        p(i32), p(i32), p(u8), i64, i32, p(u8), i64,
-    ]
+    lib.polish_new.restype = ctypes.c_void_p
+    lib.polish_new.argtypes = [p(u8), i64]
+    lib.polish_free.restype = None
+    lib.polish_free.argtypes = [ctypes.c_void_p]
+    lib.polish_add.restype = ctypes.c_int
+    lib.polish_add.argtypes = [ctypes.c_void_p, p(u8), i32, i64, i64, i32]
+    lib.polish_finish.restype = i64
+    lib.polish_finish.argtypes = [ctypes.c_void_p, i32, p(u8), i64, p(i64)]
     lib._polish_bound = True
 
 
-def polish_native(draft, member_seqs, member_offsets, band=128, min_cov=3):
+def polish_native(draft, member_seqs, member_offsets, band=128, min_cov=3,
+                  iters=2):
     """Pileup-consensus polish of a draft sequence from its member reads.
+
+    Anchor-chained banded realignment per read + per-position voting, with
+    INSERTION SEGMENTS voted as whole strings and multi-base draft gaps —
+    e.g. unitig spelling junctions — restored via the weighted medoid of
+    the observed segments.  `iters` rounds run at fixed placements (member
+    offsets are remapped through the old->new coordinate map each round),
+    letting per-base voting clean the spliced regions; re-seeding between
+    rounds is NOT done (the round-3 lesson: re-seeding against the rewritten
+    draft corrupted low-coverage tails).  Semantics of one round mirrored by
+    the pure-python oracle `phasm_tpu.polish_oracle.polish_oracle` (equality
+    tested in tests/test_native.py).
 
     draft          uint8 base codes
     member_seqs    list of uint8 arrays (oriented member read codes)
@@ -182,32 +194,43 @@ def polish_native(draft, member_seqs, member_offsets, band=128, min_cov=3):
     import ctypes
 
     lib = get_lib()
-    if lib is None or not hasattr(lib, "polish_accumulate"):
+    if lib is None or not hasattr(lib, "polish_new"):
         return None
     _bind_polish(lib)
 
     draft = np.ascontiguousarray(draft, dtype=np.uint8)
-    n = draft.shape[0]
-    votes = np.zeros((n, 5), dtype=np.int32)
-    ins_votes = np.zeros((n + 1, 4), dtype=np.int32)
-    pad = band
-    for seq, off in zip(member_seqs, member_offsets):
-        seq = np.ascontiguousarray(seq, dtype=np.uint8)
-        w0 = max(int(off) - pad // 2, 0)
-        w1 = min(int(off) + seq.shape[0] + pad // 2, n)
-        lib.polish_accumulate(
-            _ptr(draft, ctypes.c_uint8), n,
-            _ptr(seq, ctypes.c_uint8), seq.shape[0],
-            w0, w1, band,
-            _ptr(votes, ctypes.c_int32), _ptr(ins_votes, ctypes.c_int32),
-        )
-    cap = n + n // 4 + 1024
-    out = np.empty(cap, dtype=np.uint8)
-    got = lib.polish_consensus(
-        _ptr(votes, ctypes.c_int32), _ptr(ins_votes, ctypes.c_int32),
-        _ptr(draft, ctypes.c_uint8), n, min_cov,
-        _ptr(out, ctypes.c_uint8), cap,
-    )
-    if got < 0:
-        return None
-    return out[:got].copy()
+    offsets = [int(o) for o in member_offsets]
+    pad = band  # full-band slack each side: draft gaps shift true spans
+    for it in range(max(iters, 1)):
+        n = draft.shape[0]
+        if n == 0:
+            return draft
+        h = lib.polish_new(_ptr(draft, ctypes.c_uint8), n)
+        try:
+            for seq, off in zip(member_seqs, offsets):
+                seq = np.ascontiguousarray(seq, dtype=np.uint8)
+                w0 = max(off - pad, 0)
+                w1 = min(off + seq.shape[0] + pad, n)
+                lib.polish_add(
+                    h, _ptr(seq, ctypes.c_uint8), seq.shape[0], w0, w1, band,
+                )
+            cap = n + n // 2 + 4096
+            out = np.empty(cap, dtype=np.uint8)
+            pos_map = np.empty(n + 1, dtype=np.int64)
+            got = lib.polish_finish(
+                h, min_cov, _ptr(out, ctypes.c_uint8), cap,
+                _ptr(pos_map, ctypes.c_int64),
+            )
+        finally:
+            lib.polish_free(h)
+        if got < 0:
+            return None
+        new_draft = out[:got].copy()
+        if it + 1 < iters:
+            offsets = [int(pos_map[min(max(o, 0), n)]) for o in offsets]
+            if new_draft.shape[0] == draft.shape[0] and np.array_equal(
+                new_draft, draft
+            ):
+                return new_draft  # converged early
+        draft = new_draft
+    return draft

@@ -199,12 +199,17 @@ def read_touch_dirty(
     no win column (callers fall back to the permissive rule)."""
     if getattr(aln, "win", None) is None or len(aln) == 0:
         return None
-    from phasm_tpu.filter import estimate_read_errors
+    from phasm_tpu.filter import corroborate_window_excess, estimate_read_errors
     from phasm_tpu.overlap.extend import WINDOW
 
     e_read = estimate_read_errors(aln, n_reads)
     mu = (e_read[aln.a_id] + e_read[aln.b_id]) * WINDOW
     sus = aln.win > mu + np.maximum(z * np.sqrt(mu), min_excess)
+    # corroboration (same rule as filter.window_excess_mask): a single
+    # read's dense-error patch flags only pairs sharing that read; genuine
+    # het sites are flagged by independent pairs at the same locus.  Without
+    # this, one bad read could fabricate "discriminating" linkage evidence.
+    sus = corroborate_window_excess(aln, sus)
 
     pair_of_read = _pair_of_read(ug, n_reads)
     dirty: dict[int, set[int]] = {}
@@ -218,11 +223,27 @@ def read_touch_dirty(
             if p < 0:
                 continue
             (dirty if s else clean).setdefault(x, set()).add(p)
-    return {
+    out = {
         r: frozenset(d - clean.get(r, set()))
         for r, d in dirty.items()
         if d - clean.get(r, set())
     }
+    if not out:
+        # low-heterozygosity regime: NO read anywhere trips the window
+        # threshold, so the discriminating-evidence test can never pass and
+        # every constrained gap will phase-break.  That is the honest
+        # choice — joining on non-discriminating linkage licenses coin-flip
+        # phase (chimeras are worse than fragmentation) — but it must be
+        # LOUD, not silent (ADVICE r4): real low-het data hitting this wants
+        # link_discrimination=False or a lower link_z.
+        metrics.incr("phasing.link_discrimination_no_evidence")
+        log.warning(
+            "link_discrimination: no window-suspect (read, pair) touches in "
+            "the whole table — every constrained gap will phase-break; set "
+            "link_discrimination=False (or lower link_z) if this data is "
+            "genuinely low-heterozygosity"
+        )
+    return out
 
 
 def consistent_paths(
@@ -768,6 +789,8 @@ def phase_all(
     bit-identical to the sequential driver (tested: vmap batches the same
     lanewise ops; reductions keep their axis order)."""
     cfg = cfg or PhaseConfig()
+    if not chains:
+        return []  # nothing to phase (and no spurious low-het warning)
     touch = read_touch_errs(ug, reads.n_reads, aln)
     dirty = (
         read_touch_dirty(

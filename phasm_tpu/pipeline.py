@@ -115,6 +115,10 @@ class PipelineConfig:
     polish: bool = False
     polish_band: int = 128
     polish_min_cov: int = 3
+    # rounds of realign+vote at fixed placements per polish call (offsets
+    # remapped through the coordinate map; no re-seeding — medoid gap
+    # splices are cleaned by per-base voting in the following round)
+    polish_iters: int = 2
 
 
 @dataclasses.dataclass
@@ -504,6 +508,7 @@ def assemble(
             offs,
             band=cfg.polish_band,
             min_cov=cfg.polish_min_cov,
+            iters=cfg.polish_iters,
         )
         return out if out is not None else seq
 
@@ -606,7 +611,10 @@ def assemble(
     all_entries = hap_entries + contig_entries
     if cfg.polish and cfg.polish_round2 and all_entries:
         for _ in range(cfg.round2_iters):
-            with metrics.stage("pipeline.polish2", haplotigs=len(all_entries)):
+            with metrics.stage(
+                "pipeline.polish2",
+                haplotigs=len(hap_entries), contigs=len(contig_entries),
+            ):
                 _polish_round2(all_entries, reads, cfg, _polish)
     haplotigs = [
         (

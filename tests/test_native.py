@@ -69,6 +69,75 @@ def test_candidates_identical(readset):
         assert np.array_equal(getattr(c_np, f), getattr(c_cc, f)), f
 
 
+def _edit_dist(a, b):
+    n, m = len(a), len(b)
+    prev = np.arange(m + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[:-1] + (a[i - 1] != b), prev[1:] + 1)
+        for j in range(1, m + 1):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return int(prev[m])
+
+
+def _gap_case(seed, gap_len, n_truth=1200, read_len=400, err=0.05, cov=12):
+    from phasm_tpu.sim import mutate_read
+
+    rng = np.random.default_rng(seed)
+    truth = rng.integers(0, 4, n_truth).astype(np.uint8)
+    gap0 = n_truth // 2
+    draft = np.concatenate([truth[:gap0], truth[gap0 + gap_len:]]).copy()
+    derr = rng.random(len(draft)) < 0.01
+    draft[derr] = (draft[derr] + rng.integers(1, 4, int(derr.sum()))) % 4
+    reads, offs = [], []
+    for _ in range(int(cov * n_truth / read_len)):
+        p = int(rng.integers(0, n_truth - read_len))
+        reads.append(mutate_read(rng, truth[p : p + read_len], err))
+        offs.append(p if p < gap0 else p - gap_len)
+    return truth, draft, reads, offs
+
+
+def test_polish_oracle_equality():
+    """One round of native polish == pure-python oracle, bit-identical,
+    on a case exercising anchors, the affine DP, exact-segment emission
+    AND the medoid splice path (30-base draft gap)."""
+    from phasm_tpu.polish_oracle import polish_oracle
+
+    for seed, gap in ((3, 0), (4, 6), (5, 30)):
+        truth, draft, reads, offs = _gap_case(seed, gap, n_truth=900,
+                                              read_len=300, cov=10)
+        nat = native.polish_native(draft, reads, offs, band=64, min_cov=3,
+                                   iters=1)
+        ora = polish_oracle(draft, reads, offs, band=64, min_cov=3)
+        assert nat is not None
+        assert np.array_equal(nat, ora), (seed, gap, len(nat), len(ora))
+
+
+def test_polish_restores_multibase_gaps():
+    """Unitig-junction-style draft gaps (the round-4 clustered-deletion
+    residual) are restored by the medoid splice + iteration: final edit
+    distance to truth is ~machinery floor regardless of gap size."""
+    for gap in (8, 30, 80):
+        truth, draft, reads, offs = _gap_case(11, gap, n_truth=2500,
+                                              read_len=700, err=0.06, cov=16)
+        d0 = _edit_dist(truth, draft)
+        out = native.polish_native(draft, reads, offs, band=128, min_cov=3,
+                                   iters=3)
+        d = _edit_dist(truth, out)
+        assert d0 >= gap  # the gap is in the draft
+        assert d <= 8, (gap, d0, d)
+
+
+def test_polish_deterministic():
+    truth, draft, reads, offs = _gap_case(7, 20)
+    a = native.polish_native(draft, reads, offs, iters=2)
+    b = native.polish_native(draft, reads, offs, iters=2)
+    assert np.array_equal(a, b)
+
+
 def test_pack_2bit_native():
     import ctypes
 

@@ -90,9 +90,14 @@ def test_noisy_haploid_bubbles_disappear():
 
 
 def test_window_filter_improves_allele_purity():
-    """Windowed-divergence policy (the round-2 purity mechanism): diploid
-    haplotig allele purity with the window filter must beat the pure
-    global-threshold baseline.  (Supersedes the round-1 AdaptiveErrorRate
+    """Windowed-divergence STACK (the round-2+ purity machinery: edge
+    filter, marginal-edge veto / dirty chords, zipper cuts, anchor
+    refinement): diploid haplotig allele purity with the stack on must beat
+    the pure global-threshold baseline with ALL of it off.  (The baseline
+    originally disabled only the edge filter; by round 4 the other three
+    window-statistic consumers closed the purity gap on their own, which is
+    the stack doing its job — the honest comparison is all-on vs all-off.)
+    (Supersedes the round-1 AdaptiveErrorRate
     comparison: whole-overlap adaptive thresholds are flank-diluted, the
     window statistic is not — see filter.window_excess_mask.)"""
     import jax
@@ -138,7 +143,8 @@ def test_window_filter_improves_allele_purity():
     base_cfg = PipelineConfig(
         min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
         evidence_max_error=0.5, phase=PhaseConfig(ploidy=2),
-        window_filter=False,
+        window_filter=False, cut_zippers=False,
+        refine_anchor_assignment=False,
     )
     win_cfg = PipelineConfig(
         min_overlap_length=800, max_error_rate=0.12, length_fuzz=400,
