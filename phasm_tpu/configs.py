@@ -121,6 +121,29 @@ def ladder() -> list[LadderConfig]:
                 length_fuzz=1000, polish=True,
             ),
         ),
+        LadderConfig(
+            name="c7_diploid_2mb",
+            description=(
+                "Mb-scale diploid rung (VERDICT r4 #5): 2 Mb, ploidy 2, "
+                "20 het hotspots, ~13x/hap with indel-bearing reads — the "
+                "first exercise of the phasing DP, lockstep driver, phase "
+                "linkage, spelling and polish at Mb scale (frontier caps, "
+                "chain counts, host-tail stress)"
+            ),
+            sim=dict(
+                seed=7, genome_len=2_000_000, ploidy=2, coverage=13,
+                mean_read_len=8000, error_rate=0.04, indel_rate=0.0,
+                snv_rate=0.0, hotspots=20, hotspot_rate=0.15,
+                hotspot_width=2000, read_len_spread=0.2,
+            ),
+            overlap=OverlapConfig(min_overlap=1000),
+            pipeline=PipelineConfig(
+                min_overlap_length=1000, max_error_rate=0.12,
+                length_fuzz=600, evidence_max_error=0.5,
+                phase=PhaseConfig(ploidy=2), adaptive_error=True,
+                polish=True,
+            ),
+        ),
     ]
 
 

@@ -21,7 +21,7 @@ _SO = os.path.join(_NATIVE_DIR, "libphasm_native.so")
 
 _lib = None
 _tried = False
-_ABI_VERSION = 3  # must match phasm_native_abi_version() in the .cpp
+_ABI_VERSION = 5  # must match phasm_native_abi_version() in the .cpp
 
 
 def _build() -> bool:
@@ -31,7 +31,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
-             "-shared", "-o", _SO, src],
+             "-pthread", "-shared", "-o", _SO, src],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -81,11 +81,18 @@ def get_lib():
     ]
     lib.match_seed_pairs.restype = i64
     lib.match_seed_pairs.argtypes = [
-        p(i32), p(i32), p(u64), p(u8), i64, p(i32), i32, i32, i32,
+        p(i32), p(i32), p(u64), p(u8), i64, p(i32), i32, i32, i32, i32,
         p(i32), p(i32), p(i32), p(i32), i64,
     ]
     lib.pack_2bit.restype = None
     lib.pack_2bit.argtypes = [p(u8), i64, p(u8)]
+    lib.sort_u64_order.restype = None
+    lib.sort_u64_order.argtypes = [p(u64), i64, p(i64)]
+    lib.pair_histogram.restype = i64
+    lib.pair_histogram.argtypes = [
+        p(i32), p(i32), p(i32), p(i32), i64, i64, i32, i32,
+        p(i32), p(i32), p(i32), p(i32), p(i32), i64,
+    ]
     _lib = lib
     return _lib
 
@@ -120,12 +127,15 @@ def extract_minimizers_native(codes, lengths, k, w):
 
 
 def match_seed_pairs_native(
-    read_id, pos, canon, orient, lengths, k, max_occ, cross_split=-1
+    read_id, pos, canon, orient, lengths, k, max_occ, cross_split=-1,
+    presorted=False,
 ):
     """C++ per-bucket pair emission; returns (a, b, strand, diag) or None.
 
     cross_split >= 0 emits only pairs with a < cross_split <= b (block-tile
-    mode, see overlap_reads_blocked)."""
+    mode, see overlap_reads_blocked).  presorted=True asserts the seed
+    arrays are already sorted by (canon, read_id) — skips the in-C++ sort
+    (the production path sorts once in numpy; see seeding.sort_seeds)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -144,12 +154,56 @@ def match_seed_pairs_native(
             _ptr(read_id, ctypes.c_int32), _ptr(pos, ctypes.c_int32),
             _ptr(canon, ctypes.c_uint64), _ptr(orient, ctypes.c_uint8),
             read_id.shape[0], _ptr(lengths, ctypes.c_int32), k, max_occ,
-            int(cross_split),
+            int(cross_split), int(bool(presorted)),
             _ptr(a, ctypes.c_int32), _ptr(b, ctypes.c_int32),
             _ptr(st, ctypes.c_int32), _ptr(dg, ctypes.c_int32), cap,
         )
         if got >= 0:
             return a[:got], b[:got], st[:got], dg[:got]
+        cap *= 2
+
+
+def sort_u64_order_native(keys: np.ndarray):
+    """Stable radix argsort of uint64 keys; returns int64 order or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    order = np.empty(keys.shape[0], dtype=np.int64)
+    lib.sort_u64_order(
+        _ptr(keys, ctypes.c_uint64), keys.shape[0],
+        _ptr(order, ctypes.c_int64),
+    )
+    return order
+
+
+def pair_histogram_native(a, b, st, diag, n_reads, diag_band, min_seeds):
+    """C++ candidate histogram (see phasm_native.cpp pair_histogram);
+    returns (a, b, strand, d0, n_seeds) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    st = np.ascontiguousarray(st, dtype=np.int32)
+    diag = np.ascontiguousarray(diag, dtype=np.int32)
+    cap = max(int(a.shape[0]), 1024)
+    while True:
+        oa = np.empty(cap, np.int32)
+        ob = np.empty(cap, np.int32)
+        os_ = np.empty(cap, np.int32)
+        od = np.empty(cap, np.int32)
+        oc = np.empty(cap, np.int32)
+        got = lib.pair_histogram(
+            _ptr(a, ctypes.c_int32), _ptr(b, ctypes.c_int32),
+            _ptr(st, ctypes.c_int32), _ptr(diag, ctypes.c_int32),
+            a.shape[0], int(n_reads), int(diag_band), int(min_seeds),
+            _ptr(oa, ctypes.c_int32), _ptr(ob, ctypes.c_int32),
+            _ptr(os_, ctypes.c_int32), _ptr(od, ctypes.c_int32),
+            _ptr(oc, ctypes.c_int32), cap,
+        )
+        if got >= 0:
+            return oa[:got], ob[:got], os_[:got], od[:got], oc[:got]
         cap *= 2
 
 

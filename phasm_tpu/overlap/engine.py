@@ -184,13 +184,18 @@ def _normalize_candidates(cands: "seeding.Candidates", lengths, band: int):
 
 
 def _auto_blocks(n_reads: int) -> int:
-    """Block count for the DALIGNER-style tiling: ~4k reads per block, off
-    below 6k reads (one tile's host matching is instant there), capped at 8
-    (tile count grows quadratically; 8 blocks = 36 tiles already pipelines
-    host matching fully behind device extension)."""
-    if n_reads < 6000:
+    """Block count for the DALIGNER-style tiling.
+
+    Round-5 rethreshold: seed matching is GLOBAL now (one radix sort +
+    presorted emission — see overlap_reads_blocked docstring), so tiling no
+    longer hides a per-tile matching cost; what it still does is bound
+    per-dispatch candidate memory on very large runs.  Below ~50k reads the
+    fragmented per-tile dispatches only waste kernel pad slots (36 tiles x
+    4 buckets of 1-7k pairs each padded to pow2 at c6) — route those
+    through the unblocked single-pass engine."""
+    if n_reads <= 50_000:
         return 1
-    return min(8, -(-n_reads // 4096))
+    return min(8, -(-n_reads // 16384))
 
 
 def overlap_reads(
@@ -224,8 +229,10 @@ def overlap_reads(
 
     lengths = reads.lengths.astype(np.int32)
     with metrics.stage("overlap.seed", reads=reads.n_reads):
-        seeds = seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
-        cands = seeding.match_seeds(seeds, lengths, cfg.seed)
+        seeds = seeding.sort_seeds(
+            seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
+        )
+        cands = seeding.match_seeds(seeds, lengths, cfg.seed, presorted=True)
     metrics.incr("overlap.candidates", len(cands))
     if len(cands) == 0:
         return AlignmentTable.empty()
@@ -262,25 +269,25 @@ def overlap_reads_blocked(
     mesh=None,
     n_blocks: int = 4,
 ) -> AlignmentTable:
-    """Block-tiled overlap with cross-stage pipelining (seed-match ∥ extend).
+    """Block-tiled overlap with cross-stage pipelining (match ∥ extend).
 
     The DAZZ_DB/DALIGNER analogue of block-vs-block comparison (DBsplit;
-    SURVEY.md §3.2 L0 row): reads are partitioned into ``n_blocks``
-    contiguous id ranges; each (bi <= bj) tile's seed matching runs on host
-    WHILE the previous tile's extension batches execute on device
-    (``extend_async`` keeps results device-resident, so dispatch returns
-    immediately).  Per-pair candidate histograms are tile-local by
-    construction — every shared seed of a pair (a, b) lives in the
-    (block(a), block(b)) tile — so the output is BIT-IDENTICAL to
-    ``overlap_reads`` (tested, incl. repeat-rich data).  This is the SURVEY
-    §3.3 PP-row cross-stage pipeline: stage overlap beyond the intra-stage
-    double buffering.
+    SURVEY.md §3.2 L0 row): CANDIDATES are partitioned into (bi <= bj)
+    block tiles by read-id range; each tile's normalization + bucketing
+    runs on host WHILE the previous tile's extension batches execute on
+    device (``extend_async`` keeps results device-resident, so dispatch
+    returns immediately).  Output is BIT-IDENTICAL to ``overlap_reads``
+    (tested, incl. repeat-rich data): the candidate set is computed by the
+    same single global match.
 
-    Repeat handling matches DALIGNER's global repeat masking: the max_occ
-    k-mer filter is computed ONCE over the full seed set (a k-mer globally
-    over max_occ could fall under it inside a tile subset and leak spurious
-    repeat pairs otherwise); cross tiles emit only inter-block pairs
-    (cross_split), so intra-block candidates are matched exactly once.
+    Round-5 restructure: seed matching itself is now GLOBAL — seeds are
+    (canon, read_id)-sorted once in numpy and pairs emitted from the
+    presorted arrays, replacing the per-tile comparator re-sorts that
+    dominated the c6 seed stage (round-4 seed_match_host 144 s -> the sort
+    was 71 s per full pass and each block paid it in all 8 of its tiles;
+    see scripts/diag_seed_profile.py).  Repeat handling is unchanged
+    (max_occ buckets are global by construction); tiling still bounds
+    per-dispatch memory and pipelines host prep behind device extension.
     """
     cfg = cfg or OverlapConfig()
     backend = _resolve_backend(cfg)
@@ -290,23 +297,12 @@ def overlap_reads_blocked(
     lengths = reads.lengths.astype(np.int32)
     with metrics.stage("overlap.seed.minimizers", reads=reads.n_reads):
         seeds = seeding.extract_minimizers(reads.codes, lengths, cfg.seed)
-
-    # global repeat filter BEFORE tiling (bit-identity with overlap_reads:
-    # a bucket with global count > max_occ emits nothing there either, and
-    # per-tile counts of surviving k-mers can only be <= their global count)
-    uniq, inv, cnt = np.unique(
-        seeds.canon, return_inverse=True, return_counts=True
-    )
-    keep_seed = cnt[inv] <= cfg.seed.max_occ
-    metrics.incr(
-        "overlap.seed.repeat_dropped", int((~keep_seed).sum())
-    )
-    seeds = seeding.Seeds(
-        read_id=seeds.read_id[keep_seed],
-        pos=seeds.pos[keep_seed],
-        canon=seeds.canon[keep_seed],
-        orient=seeds.orient[keep_seed],
-    )
+    with metrics.stage("overlap.seed.sort"):
+        seeds = seeding.sort_seeds(seeds)
+        metrics.incr(
+            "overlap.seed.repeat_dropped",
+            int((~seeding.repeat_run_mask(seeds.canon, cfg.seed.max_occ)).sum()),
+        )
 
     oriented = reads.oriented_codes_matrix()
     from phasm_tpu.overlap.extend import DeviceExtender
@@ -317,41 +313,40 @@ def overlap_reads_blocked(
 
     n = reads.n_reads
     n_blocks = max(1, min(n_blocks, n))
-    bounds = [(n * i) // n_blocks for i in range(n_blocks + 1)]
-    blk_of = np.searchsorted(bounds, seeds.read_id, side="right") - 1
+    bounds = np.array([(n * i) // n_blocks for i in range(n_blocks + 1)])
 
+    with metrics.stage("overlap.seed.match"):
+        cands = seeding.match_seeds(seeds, lengths, cfg.seed, presorted=True)
+    metrics.incr("overlap.candidates", len(cands))
+    if len(cands) == 0:
+        return AlignmentTable.empty()
+
+    # candidate tiling: group by (block(a), block(b)); per-tile normalize +
+    # dispatch async so the device extends tile t while tile t+1 preps
+    blk_a = np.searchsorted(bounds, cands.a_id, side="right") - 1
+    blk_b = np.searchsorted(bounds, cands.b_id, side="right") - 1
+    tile_key = blk_a * n_blocks + blk_b
+    tile_order = np.argsort(tile_key, kind="stable")
     tiles = []  # (norm_tuple, pending)
-    for bi in range(n_blocks):
-        for bj in range(bi, n_blocks):
-            in_tile = (
-                (blk_of == bi) if bi == bj else (blk_of == bi) | (blk_of == bj)
-            )
-            sub = seeding.Seeds(
-                read_id=seeds.read_id[in_tile],
-                pos=seeds.pos[in_tile],
-                canon=seeds.canon[in_tile],
-                orient=seeds.orient[in_tile],
-            )
-            # cross tiles emit only a-in-bi / b-in-bj pairs (a < b always and
-            # the subset holds only bi/bj reads, so the boundary test
-            # a < bounds[bi+1] <= b selects exactly those)
-            split = -1 if bi == bj else bounds[bi + 1]
-            with metrics.stage(f"overlap.seed.tile{bi}_{bj}"):
-                cands = seeding.match_seeds(
-                    sub, lengths, cfg.seed, cross_split=split
-                )
-            if len(cands) == 0:
-                continue
-            norm = _normalize_candidates(cands, lengths, cfg.band)
-            need = norm[-1]
-            ka, kb, kd = norm[4], norm[5], norm[6]
-            # dispatch NOW (async): device extends this tile while the next
-            # tile's host-side matching runs
-            pend = _dispatch_bucketed(
-                extender, ka, kb, kd, need, cfg, tag=f".t{bi}_{bj}"
-            )
-            tiles.append((norm, pend))
-    metrics.incr("overlap.candidates", sum(t[0][0].shape[0] for t in tiles))
+    for t0 in np.split(
+        tile_order, np.nonzero(np.diff(tile_key[tile_order]))[0] + 1
+    ) if tile_order.shape[0] else []:
+        bi, bj = divmod(int(tile_key[t0[0]]), n_blocks)
+        sub = seeding.Candidates(
+            a_id=cands.a_id[t0], b_id=cands.b_id[t0],
+            strand=cands.strand[t0], diag=cands.diag[t0],
+            n_seeds=cands.n_seeds[t0],
+        )
+        with metrics.stage(f"overlap.seed.tile{bi}_{bj}"):
+            norm = _normalize_candidates(sub, lengths, cfg.band)
+        need = norm[-1]
+        ka, kb, kd = norm[4], norm[5], norm[6]
+        # dispatch NOW (async): device extends this tile while the next
+        # tile's host-side prep runs
+        pend = _dispatch_bucketed(
+            extender, ka, kb, kd, need, cfg, tag=f".t{bi}_{bj}"
+        )
+        tiles.append((norm, pend))
     if not tiles:
         return AlignmentTable.empty()
 

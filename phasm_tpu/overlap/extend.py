@@ -593,6 +593,41 @@ def _mesh_put(x: np.ndarray, sharding):
 _cache_enabled = False
 
 
+_d2h_warmed = False
+
+
+def _warm_d2h_async():
+    """Fire the one-time device->host channel setup on a background thread.
+
+    The axon tunnel's FIRST device-to-host transfer in a process blocks
+    ~128 s (reverse-channel establishment, measured round 5: fetch #1 of a
+    128 KB array = 127.8 s, fetch #2 = 0.00 s).  Any pipeline that
+    dispatches device work and then materializes pays it at the first
+    fetch barrier — serialized with everything else.  Kicking a 4-byte
+    fetch off at extender construction overlaps the setup with host
+    seeding/matching instead.  Idempotent; never raises (a dead tunnel
+    surfaces later, with retries, in the real fetch path)."""
+    global _d2h_warmed
+    if _d2h_warmed:
+        return
+    _d2h_warmed = True
+    import threading
+
+    def _go():
+        try:
+            import jax
+            import numpy as _np
+
+            if jax.default_backend() == "cpu":
+                return
+            d = jax.device_put(_np.zeros(1, _np.int32))
+            _np.asarray(d)
+        except Exception:
+            pass
+
+    threading.Thread(target=_go, daemon=True).start()
+
+
 def _enable_compilation_cache():
     """Persistent XLA compile cache: remote TPU compiles take minutes here,
     and every (jmax, batch) variant recompiles per process otherwise."""
@@ -739,6 +774,10 @@ class DeviceExtender:
         self._runs: dict = {}
         self._tables = None  # lazy myers window tables (build_myers_tables)
         self._tables2 = None  # lazy blocked tables (tab2 fast path)
+        _warm_d2h_async()  # first device->host fetch in a process pays a
+        # ~2 min one-time tunnel reverse-channel setup (measured round 5);
+        # trigger it on a background thread NOW so it overlaps host seeding
+        # instead of landing on the first materialize
         # wide escalation rungs under the myers backends fall back to the
         # W-band kernel family (pallas seg / dp_core) — see MYERS_MAX_BAND
         self._use_pallas = (
@@ -1027,6 +1066,12 @@ class DeviceExtender:
         replicated on the mesh when one is configured)."""
         if self._tables is not None:
             return
+        from phasm_tpu import metrics
+
+        with metrics.stage("overlap.table_build.tab"):
+            self._ensure_tables_impl()
+
+    def _ensure_tables_impl(self):
         import jax
 
         from phasm_tpu.overlap.myers import build_myers_tables
@@ -1059,6 +1104,12 @@ class DeviceExtender:
         the mesh when one is configured."""
         if getattr(self, "_tables2", None) is not None:
             return
+        from phasm_tpu import metrics
+
+        with metrics.stage("overlap.table_build.tab2"):
+            self._ensure_tables2_impl()
+
+    def _ensure_tables2_impl(self):
         import jax
 
         from phasm_tpu.overlap.myers import build_myers_tables_blocked
@@ -1098,10 +1149,15 @@ class DeviceExtender:
         M = int(a_oid.shape[0])
         # pad M to the next power of two (>= 1024): every (M, jmax) shape
         # costs a minutes-long remote compile, so keep the variant set finite
-        # and permanently covered by the persistent cache
+        # and permanently covered by the persistent cache.  Batches over 8192
+        # pad all the way to _MAX_BATCH: a large run's tail chunk would
+        # otherwise mint a fresh (Mp, jmax) variant per bucket (~25 s remote
+        # compile each) to save at most ~1 s of padded kernel work.
         Mp = 1024
         while Mp < M:
             Mp *= 2
+        if Mp > 8192:
+            Mp = 32768  # engine._MAX_BATCH: the largest chunk it dispatches
         Mp = max(((Mp + block_b - 1) // block_b) * block_b, block_b)
         if Mp != M:
             pad = Mp - M
@@ -1122,14 +1178,23 @@ class DeviceExtender:
             idx_args = [_mesh_put(idx3, sh)]
         else:
             idx_args = [idx3]
+        from phasm_tpu import metrics
+
         if self._is_tab2_run(band, jmax):
             self._ensure_tables2()
             args = (self._lengths, *self._tables2, *idx_args)
+            metrics.incr(f"overlap.family.tab2.j{jmax}")
         elif self._is_tab_run(band, jmax):
             self._ensure_tables()
             args = (self._lengths, *self._tables, *idx_args)
+            metrics.incr(f"overlap.family.tab.j{jmax}")
         else:
             args = (self._oriented, self._lengths, *idx_args)
+            fam = "pallas_wband" if (
+                self._use_pallas
+                and (self.band if band is None else band) <= self.PALLAS_MAX_BAND
+            ) else "jnp"
+            metrics.incr(f"overlap.family.{fam}.j{jmax}")
         try:
             out = run(*args)
         except Exception as e:

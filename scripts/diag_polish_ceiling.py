@@ -29,7 +29,8 @@ def edit_dist(a, b):
     return int(prev[m])
 
 
-def run(seed=5, n_truth=20000, cov=16, read_len=3000, err=0.06, derr=0.015):
+def run(seed=5, n_truth=20000, cov=16, read_len=3000, err=0.06, derr=0.015,
+        iters_list=(1, 2, 3, 4)):
     rng = np.random.default_rng(seed)
     truth = rng.integers(0, 4, n_truth).astype(np.uint8)
     draft = mutate_read(rng, truth, derr)
@@ -40,13 +41,18 @@ def run(seed=5, n_truth=20000, cov=16, read_len=3000, err=0.06, derr=0.015):
         reads.append(mutate_read(rng, truth[p : p + read_len], err))
         offs.append(p)
     d0 = edit_dist(truth, draft)
-    for iters in (1, 2, 3, 4):
+    mid0, mid1 = read_len, n_truth - read_len  # full-coverage interior
+    for iters in iters_list:
         out = polish_native(draft, reads, offs, band=128, min_cov=3,
                             iters=iters)
         d = edit_dist(truth, out)
-        # interior-only: ends have ramping coverage
+        # interior-only: ends have ramping coverage.  Align interior by
+        # slicing both at the same truth window (out drift is few bases).
+        di = edit_dist(truth[mid0:mid1], out[mid0 - 50:mid1 + 50]) - 100
+        di_rate = max(di, 0) / (mid1 - mid0)
         print(f"cov={cov} derr={derr}: draft {d0} ({d0/n_truth:.4%}) -> "
-              f"iters={iters} {d} ({d/n_truth:.4%}) len {len(out)}")
+              f"iters={iters} {d} ({d/n_truth:.4%}) "
+              f"interior~{di_rate:.4%} len {len(out)}")
         sys.stdout.flush()
 
 

@@ -6,13 +6,12 @@ against ``reduce_mask_np`` on a >= 10^6-edge synthetic overlap-shaped graph
 transitive via i+1, the dense-reduction regime), plus ``remove_tips`` on
 the reduced graph.  Writes one JSON line (--out GRAPH_TPU_r4.json).
 
-Honest scoping: the jax pass packs (src, dst) into int32 keys, so device
-runs cap at 46,340 nodes (transitive.py guard) — 10^6 edges therefore
-means a ~30k-node, ~degree-33 graph here, NOT a 10^6-node one.  Beyond
-the cap `impl="auto"` routes to numpy; that routing is part of what this
-artifact documents.
+The round-4 int32 pair-key node cap (46,340) is GONE: the jit pass now
+bisects CSR rows directly (transitive.py), so device runs take any node
+count.  Default geometry is therefore a 250k-node, degree-8 graph (2M
+edges) — string-graph-realistic — plus ``--nodes/--degree`` overrides.
 
-    python scripts/graph_scale_bench.py [--out GRAPH_TPU_r4.json]
+    python scripts/graph_scale_bench.py [--out GRAPH_TPU_r5.json]
 """
 import argparse
 import json
@@ -59,8 +58,8 @@ def line_overlap_graph(n_nodes: int, k: int, seed: int = 0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
-    ap.add_argument("--nodes", type=int, default=30_000)
-    ap.add_argument("--degree", type=int, default=34)
+    ap.add_argument("--nodes", type=int, default=250_000)
+    ap.add_argument("--degree", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -111,11 +110,11 @@ def main():
         "jax_speedup_vs_np": round(t_np / t_jax, 2),
         "tips_np_s": round(t_tips, 3),
         "masks_bit_identical": True,
-        "jax_node_cap": 46_340,
+        "jax_node_cap": None,
         "auto_routing": (
-            "impl='auto' uses jax for n_edges >= 4096 AND padded nodes "
-            f"<= 46,340 (int32 key space; this graph pads to "
-            f"{_pow2(g.n_nodes, 256)}); larger node counts route to numpy"
+            "impl='auto' uses jax for n_edges >= 4096 at ANY node count "
+            "(CSR-row bisection replaced the int32 pair key; this graph "
+            f"pads to {_pow2(g.n_nodes, 256)} nodes on device)"
         ),
     }
     line = json.dumps(out)

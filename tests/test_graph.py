@@ -102,6 +102,32 @@ def test_transitive_jax_matches_np(seed):
         assert np.array_equal(reduce_mask_np(g, fuzz), reduce_mask_jax(g, fuzz))
 
 
+def test_transitive_jax_beyond_int32_key_cap():
+    """Node counts beyond the round-4 int32 pair-key cap (46,340) run on
+    device: the jit pass bisects CSR rows instead of composing scalar keys.
+    Line graph (node i -> i+1, i+2 with additive elens: every +2 edge is
+    transitive) at 60k nodes, checked bit-identical to the numpy oracle."""
+    n = 60_000
+    s = np.arange(n, dtype=np.int64)
+    pos = np.cumsum(np.full(n + 2, 100, dtype=np.int64))
+    src = np.concatenate([s, s])
+    dst = np.concatenate([s + 1, s + 2])
+    elen = np.concatenate([pos[s + 1] - pos[s], pos[s + 2] - pos[s]])
+    order = np.lexsort((dst, src))
+    g = StringGraph(
+        n + 2, src[order].astype(np.int32), dst[order].astype(np.int32),
+        elen[order].astype(np.int32),
+        np.ones(2 * n, dtype=np.int32),
+        np.full(n + 2, 1000, np.int32),
+    )
+    m_np = reduce_mask_np(g, fuzz=10)
+    m_jx = reduce_mask_jax(g, fuzz=10)
+    # every +2 edge transitive except the last (its witness edge n -> n+1
+    # does not exist); no +1 edge removable
+    assert int(m_np.sum()) == n - 1
+    assert np.array_equal(m_np, np.asarray(m_jx))
+
+
 def graph_from_edges(edges, n_reads):
     src = np.array([e[0] for e in edges], dtype=np.int32)
     dst = np.array([e[1] for e in edges], dtype=np.int32)

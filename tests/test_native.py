@@ -69,6 +69,32 @@ def test_candidates_identical(readset):
         assert np.array_equal(getattr(c_np, f), getattr(c_cc, f)), f
 
 
+def test_candidates_presorted_identical(readset):
+    """The production path — sort_seeds + presorted emission + C++ radix
+    histogram — yields the exact same Candidates as the numpy reference."""
+    from phasm_tpu.overlap.seeding import sort_seeds
+
+    cfg = SeedConfig()
+    s = extract_minimizers(readset.codes, readset.lengths, cfg)
+    c_np = match_seeds(s, readset.lengths, cfg, use_native=False)
+    ss = sort_seeds(s, k=cfg.k)
+    # sortedness invariant the C++ presorted path relies on
+    assert np.all(np.diff(ss.canon.astype(np.uint64)) >= 0)
+    c_cc = match_seeds(ss, readset.lengths, cfg, use_native=True,
+                       presorted=True)
+    for f in ("a_id", "b_id", "strand", "diag", "n_seeds"):
+        assert np.array_equal(getattr(c_np, f), getattr(c_cc, f)), f
+
+
+def test_radix_sort_order():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 63, 100_000, dtype=np.int64).astype(np.uint64)
+    keys[::7] = keys[0]  # duplicates: stability must match argsort
+    got = native.sort_u64_order_native(keys)
+    want = np.argsort(keys, kind="stable")
+    assert np.array_equal(got, want)
+
+
 def _edit_dist(a, b):
     n, m = len(a), len(b)
     prev = np.arange(m + 1, dtype=np.int64)
