@@ -240,7 +240,7 @@ def main():
         # batch = the engine's _MAX_BATCH: the per-call fixed cost (stacked
         # index upload + tunnel dispatch + fetch, ~5-6 ms) must amortize
         # over the same pair count production uses
-        JMAX, M, iters = 2048, 32768, 20
+        JMAX, M, iters = 2048, 65536, 15
         READ_LEN, N_READS = 4096, 512
     else:
         JMAX, M, iters = 1024, 256, 3

@@ -61,11 +61,11 @@ class OverlapConfig:
     # classification) lives in filter.FilterChain / graph.pop.
 
 
-_MAX_BATCH = 32768  # pairs per device call (amortizes dispatch, bounds HBM).
-# Per-batch fixed cost (stacked-index upload + tunnel dispatch + fetch) is
-# ~5-6 ms on the axon link; at 16384 pairs it capped production throughput
-# at ~1.0M aligns/s vs 1.55M at 32768 (round-4 measurement).  HBM: the tab2
-# slabs are ~250 MB at 32k pairs — noise against 16 GB.
+_MAX_BATCH = 65536  # pairs per device call (amortizes dispatch, bounds HBM).
+# Per-batch fixed cost (stacked-index upload + tunnel dispatch + XLA prep
+# gathers) is ~9 ms on the axon link at 32k; 16384 pairs capped production
+# at ~1.0M aligns/s, 32768 at ~1.8-2.0M (round-4), 65536 amortizes further
+# (round-5).  HBM: the tab2 slabs are ~500 MB at 64k pairs — noise vs 16 GB.
 
 
 def _bucket_edges(need: np.ndarray, cfg: OverlapConfig) -> list[int]:

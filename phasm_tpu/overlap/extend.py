@@ -1157,7 +1157,7 @@ class DeviceExtender:
         while Mp < M:
             Mp *= 2
         if Mp > 8192:
-            Mp = 32768  # engine._MAX_BATCH: the largest chunk it dispatches
+            Mp = 65536  # engine._MAX_BATCH: the largest chunk it dispatches
         Mp = max(((Mp + block_b - 1) // block_b) * block_b, block_b)
         if Mp != M:
             pad = Mp - M

@@ -91,6 +91,40 @@ def test_diploid_hotspot_allele_purity_and_identity():
     assert total_len >= 2 * 0.90 * 36_000, total_len
 
 
+def test_read_grouped_round2_matches_single_group():
+    """Device-budget read grouping in _polish_round2 (the c6 HBM-OOM fix):
+    forcing multi-group execution via a tiny round2_device_budget must
+    reach the same quality as the single-group path (placements are
+    per-read independent; only the within-group max_occ filter differs, a
+    candidate superset) and stay deterministic."""
+    import numpy as np
+
+    from phasm_tpu.eval import evaluate_assembly
+
+    rs, truth = simulate_reads(
+        seed=7, genome_len=30_000, ploidy=1, coverage=16,
+        mean_read_len=3000, error_rate=0.06, read_len_spread=0.3,
+    )
+    t = overlap_reads(rs, OverlapConfig(min_overlap=700, backend="jnp"))
+    base = PipelineConfig(
+        min_overlap_length=700, max_error_rate=0.16, length_fuzz=700,
+        polish=True, round2_chunk=8192,
+    )
+    import dataclasses
+
+    grouped_cfg = dataclasses.replace(base, round2_device_budget=1.0)
+    res1 = assemble(rs, t, base)
+    res2 = assemble(rs, t, grouped_cfg)
+    q1 = evaluate_assembly(res1, truth)["kmer_identity"]["weighted_mean"]
+    q2 = evaluate_assembly(res2, truth)["kmer_identity"]["weighted_mean"]
+    assert abs(q1 - q2) < 0.02, (q1, q2)
+    # deterministic under grouping
+    res3 = assemble(rs, t, grouped_cfg)
+    assert [(n, s.tobytes()) for n, s in res2.contigs] == [
+        (n, s.tobytes()) for n, s in res3.contigs
+    ]
+
+
 def test_chunked_round2_polish_haploid_contig():
     """Haploid assemblies emit only contigs, which now get the draft-guided
     round-2 polish too (round-1 pileup votes with unitig members alone —
