@@ -25,11 +25,13 @@ def test_ladder_definitions():
     from phasm_tpu.configs import ladder
 
     rungs = ladder()
-    assert len(rungs) == 6
+    assert len(rungs) == 7
     names = [r.name for r in rungs]
-    assert names == sorted(names)  # c1..c6 ordering
+    assert names == sorted(names)  # c1..c7 ordering
     ploidies = [r.pipeline.phase.ploidy for r in rungs]
-    assert ploidies == [2, 2, 2, 2, 3, 2]
+    assert ploidies == [2, 2, 2, 2, 3, 2, 2]
     assert rungs[2].sim["genome_len"] == 1_000_000
     assert rungs[5].sim["genome_len"] == 10_000_000  # scale rung (r3)
     assert rungs[5].sim["ploidy"] == 1
+    assert rungs[6].sim["genome_len"] == 2_000_000  # Mb diploid rung (r5)
+    assert rungs[6].sim["ploidy"] == 2
